@@ -1,0 +1,285 @@
+"""Fixed-capacity, statically-shaped graph batching.
+
+TPU-native replacement for the reference's PyG ``DataLoader`` block-diagonal
+collation (reference: TRAIN_FINAL.py:1298-1299, torch_geometric.loader).
+XLA compiles one program per tensor shape, so variable-size FE-mesh graphs are
+packed into *fixed-capacity* buffers chosen from a small bucket table; padding
+is organised so the hot compute path needs **no masking at all**:
+
+- The last graph slot (``G_cap - 1``) is a reserved *padding graph*.
+- The last node slot (``N_cap - 1``) is a reserved *dead node* that belongs to
+  the padding graph. Padding edges have ``senders == receivers == N_cap - 1``,
+  so scatter/segment aggregation over padding edges only ever touches the dead
+  node, and graph pooling over padding nodes only ever lands in the padding
+  graph slot. Real rows are untouched without a single ``where``.
+- Masks (`node_mask`/`edge_mask`/`graph_mask`) are still carried for the few
+  ops that need true statistics (masked BatchNorm, losses, metrics).
+
+Edges are stored *receiver-sorted* with CSR ``row_offsets`` so segment
+reductions can use ``indices_are_sorted=True`` and Pallas kernels can tile
+rows directly.
+
+The supernode convention matches the reference: the supernode is the last
+real node of each graph's segment and its last feature equals 1
+(reference: Models/BuckGNN.py:255-271,315-320; VirtualEdgeCreate.py:81-113).
+`supernode_index` additionally records the flat index per graph so pooling is
+a gather instead of the reference's Python loop over ``batch``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass
+class GraphData:
+    """One host-side graph (NumPy). The unit produced by the data pipeline.
+
+    ``senders``/``receivers`` already contain both directions of each
+    undirected edge (the reference emits both directions,
+    GraphCreate.py:417-422).
+    """
+
+    x: np.ndarray          # [n, F] float32 node features
+    senders: np.ndarray    # [e] int32
+    receivers: np.ndarray  # [e] int32
+    edge_attr: np.ndarray  # [e, Fe] float32
+    y: np.ndarray          # [Ty] graph target or [n, Ty] node target
+    # Flat local index of the supernode (== n-1 when present), else -1.
+    supernode: int = -1
+    # Optional extras mirroring PyG Data attributes used by the reference.
+    eigenvalue: float | None = None      # mode_shape runs keep it (GraphCreate.py:548-549)
+    mode_shapes: np.ndarray | None = None  # buckling runs keep it (GraphCreate.py:551-552)
+    file_path: str | None = None
+
+    @property
+    def n_node(self) -> int:
+        return int(self.x.shape[0])
+
+    @property
+    def n_edge(self) -> int:
+        return int(self.senders.shape[0])
+
+
+@struct.dataclass
+class GraphBatch:
+    """Device-side fixed-capacity batch; a pytree of statically-shaped arrays."""
+
+    nodes: jnp.ndarray            # [N_cap, F]  float
+    edges: jnp.ndarray            # [E_cap, Fe] float
+    senders: jnp.ndarray          # [E_cap] int32 (message source)
+    receivers: jnp.ndarray        # [E_cap] int32 (message target; ascending)
+    node_graph: jnp.ndarray       # [N_cap] int32 (pad nodes -> G_cap-1)
+    node_mask: jnp.ndarray        # [N_cap] bool
+    edge_mask: jnp.ndarray        # [E_cap] bool
+    graph_mask: jnp.ndarray       # [G_cap] bool (pad graph slot always False)
+    y: jnp.ndarray                # [G_cap, Ty] graph- or [N_cap, Ty] node-level
+    supernode_index: jnp.ndarray  # [G_cap] int32 (dead node for absent)
+    row_offsets: jnp.ndarray      # [N_cap+1] int32 CSR offsets (receiver-sorted)
+    n_real_node: jnp.ndarray      # [G_cap] int32 per-graph real node counts
+
+    @property
+    def n_node_cap(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def n_edge_cap(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def n_graph_cap(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def dead_node_index(self) -> int:
+        return self.nodes.shape[0] - 1
+
+    def num_graphs(self) -> jnp.ndarray:
+        return jnp.sum(self.graph_mask.astype(jnp.int32))
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def capacity_for(
+    graphs: Sequence[GraphData],
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+) -> tuple[int, int, int]:
+    """Pick (N_cap, E_cap, G_cap) for a list of graphs.
+
+    +1 node for the dead-node slot, +1 graph for the padding graph; rounded up
+    to TPU-friendly multiples (sublane 8 for nodes; lane 128 for the edge
+    dimension that Pallas kernels tile over).
+    """
+    n = sum(g.n_node for g in graphs) + 1
+    e = sum(g.n_edge for g in graphs)
+    return (
+        _round_up(n, node_multiple),
+        max(_round_up(e, edge_multiple), edge_multiple),
+        len(graphs) + 1,
+    )
+
+
+def pack_graphs(
+    graphs: Sequence[GraphData],
+    n_node_cap: int,
+    n_edge_cap: int,
+    n_graph_cap: int,
+    np_dtype=np.float32,
+) -> GraphBatch:
+    """Pack host graphs into one fixed-capacity `GraphBatch`.
+
+    Pure NumPy (host-side ETL); the result converts lazily to device arrays
+    when first used under jit.
+    """
+    n_real = sum(g.n_node for g in graphs)
+    e_real = sum(g.n_edge for g in graphs)
+    if n_real + 1 > n_node_cap:
+        raise ValueError(
+            f"node overflow: {n_real} real nodes + dead node > cap {n_node_cap}"
+        )
+    if e_real > n_edge_cap:
+        raise ValueError(f"edge overflow: {e_real} > cap {n_edge_cap}")
+    if len(graphs) + 1 > n_graph_cap:
+        raise ValueError(f"graph overflow: {len(graphs)} + pad > cap {n_graph_cap}")
+
+    f_dim = graphs[0].x.shape[1]
+    fe_dim = graphs[0].edge_attr.shape[1] if graphs[0].edge_attr.ndim == 2 else 0
+    node_level_y = graphs[0].y.ndim == 2
+
+    dead = n_node_cap - 1
+    pad_graph = n_graph_cap - 1
+
+    nodes = np.zeros((n_node_cap, f_dim), dtype=np_dtype)
+    edges = np.zeros((n_edge_cap, fe_dim), dtype=np_dtype)
+    senders = np.full((n_edge_cap,), dead, dtype=np.int32)
+    receivers = np.full((n_edge_cap,), dead, dtype=np.int32)
+    node_graph = np.full((n_node_cap,), pad_graph, dtype=np.int32)
+    node_mask = np.zeros((n_node_cap,), dtype=bool)
+    edge_mask = np.zeros((n_edge_cap,), dtype=bool)
+    graph_mask = np.zeros((n_graph_cap,), dtype=bool)
+    supernode_index = np.full((n_graph_cap,), dead, dtype=np.int32)
+    n_real_node = np.zeros((n_graph_cap,), dtype=np.int32)
+
+    ty = graphs[0].y.shape[-1] if graphs[0].y.ndim >= 1 else 1
+    if node_level_y:
+        y = np.zeros((n_node_cap, ty), dtype=np_dtype)
+    else:
+        y = np.zeros((n_graph_cap, ty), dtype=np_dtype)
+
+    node_off = 0
+    edge_off = 0
+    for gi, g in enumerate(graphs):
+        n, e = g.n_node, g.n_edge
+        nodes[node_off : node_off + n] = g.x
+        node_graph[node_off : node_off + n] = gi
+        node_mask[node_off : node_off + n] = True
+        graph_mask[gi] = True
+        n_real_node[gi] = n
+        if g.supernode >= 0:
+            supernode_index[gi] = node_off + g.supernode
+        if e:
+            senders[edge_off : edge_off + e] = g.senders + node_off
+            receivers[edge_off : edge_off + e] = g.receivers + node_off
+            if fe_dim:
+                edges[edge_off : edge_off + e] = g.edge_attr
+            edge_mask[edge_off : edge_off + e] = True
+        if node_level_y:
+            y[node_off : node_off + n] = np.reshape(g.y, (n, ty))
+        else:
+            y[gi] = np.reshape(np.asarray(g.y, dtype=np_dtype), (ty,))
+        node_off += n
+        edge_off += e
+
+    # Receiver-sort all edges (padding edges target the dead node == N_cap-1,
+    # so a stable sort keeps them at the tail) and build CSR row offsets.
+    order = np.argsort(receivers, kind="stable")
+    senders = senders[order]
+    receivers = receivers[order]
+    edges = edges[order]
+    edge_mask = edge_mask[order]
+    row_offsets = np.zeros((n_node_cap + 1,), dtype=np.int32)
+    np.cumsum(np.bincount(receivers, minlength=n_node_cap), out=row_offsets[1:])
+
+    return GraphBatch(
+        nodes=jnp.asarray(nodes),
+        edges=jnp.asarray(edges),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        node_graph=jnp.asarray(node_graph),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        y=jnp.asarray(y),
+        supernode_index=jnp.asarray(supernode_index),
+        row_offsets=jnp.asarray(row_offsets),
+        n_real_node=jnp.asarray(n_real_node),
+    )
+
+
+def batch_iterator(
+    dataset: Sequence[GraphData],
+    batch_size: int,
+    n_node_cap: int,
+    n_edge_cap: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = False,
+) -> Iterator[GraphBatch]:
+    """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
+
+    Every batch uses the SAME (N_cap, E_cap, G_cap=batch_size+1) so the
+    training step compiles exactly once. Graphs that would overflow a batch's
+    capacity spill to the next batch.
+    """
+    idx = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+
+    cur: list[GraphData] = []
+    cur_nodes = 0
+    cur_edges = 0
+    for i in idx:
+        g = dataset[int(i)]
+        if g.n_node + 1 > n_node_cap or g.n_edge > n_edge_cap:
+            raise ValueError(
+                f"graph with {g.n_node} nodes / {g.n_edge} edges exceeds "
+                f"capacity ({n_node_cap}, {n_edge_cap})"
+            )
+        would_overflow = (
+            len(cur) == batch_size
+            or cur_nodes + g.n_node + 1 > n_node_cap
+            or cur_edges + g.n_edge > n_edge_cap
+        )
+        if cur and would_overflow:
+            yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1)
+            cur, cur_nodes, cur_edges = [], 0, 0
+        cur.append(g)
+        cur_nodes += g.n_node
+        cur_edges += g.n_edge
+    if cur and not drop_remainder:
+        yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1)
+
+
+def suggest_capacities(
+    dataset: Sequence[GraphData], batch_size: int, slack: float = 1.05
+) -> tuple[int, int]:
+    """Choose (N_cap, E_cap) so that a typical batch of `batch_size` fits.
+
+    Sized from mean per-graph counts with `slack`; `batch_iterator` spills
+    oversize batches, so this trades padding waste against batch shortfall.
+    """
+    mean_nodes = float(np.mean([g.n_node for g in dataset]))
+    mean_edges = float(np.mean([g.n_edge for g in dataset]))
+    max_nodes = max(g.n_node for g in dataset)
+    max_edges = max(g.n_edge for g in dataset)
+    n_cap = max(int(mean_nodes * batch_size * slack) + 1, max_nodes + 1)
+    e_cap = max(int(mean_edges * batch_size * slack), max_edges)
+    return _round_up(n_cap, 8), _round_up(e_cap, 128)

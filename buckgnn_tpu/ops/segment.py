@@ -1,0 +1,92 @@
+"""Segment reductions — THE hot primitive of GNN message passing on TPU.
+
+Replaces the reference's native dependency surface of
+``torch_scatter.scatter_add/scatter_mean`` (Models/BuckGNN.py:4,561,
+Utils/Losses.py:4) and the scatter inside PyG ``SAGEConv``/global poolings.
+
+These are XLA-lowered implementations (scatter-add on sorted segment ids);
+`buckgnn_tpu.ops.pallas_segment` provides the Pallas CSR kernel used on the
+performance path. All callers pass a *static* ``num_segments`` so shapes stay
+fixed under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_count(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    ones = (
+        jnp.ones(segment_ids.shape, dtype=jnp.float32)
+        if mask is None
+        else mask.astype(jnp.float32)
+    )
+    return jax.ops.segment_sum(
+        ones, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mean over segments; empty segments produce 0 (torch_scatter semantics:
+    scatter_mean of an empty row is 0, Models/BuckGNN.py:561)."""
+    if mask is not None:
+        data = data * mask.astype(data.dtype)[..., None]
+    total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    count = segment_count(segment_ids, num_segments, indices_are_sorted, mask)
+    return total / jnp.maximum(count, 1.0)[..., None]
+
+
+def segment_max(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Max over segments; empty segments produce 0 (PyG `aggr='max'` yields 0
+    for isolated nodes after its -inf fill is masked)."""
+    out = jax.ops.segment_max(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def segment_softmax_weights(
+    logits: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Per-segment softmax of per-element logits (for attention pooling)."""
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = logits - seg_max[segment_ids]
+    expd = jnp.exp(shifted)
+    denom = jax.ops.segment_sum(
+        expd, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    return expd / jnp.maximum(denom[segment_ids], 1e-16)

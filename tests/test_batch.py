@@ -1,0 +1,89 @@
+"""GraphBatch packing invariants."""
+
+import numpy as np
+import pytest
+
+from buckgnn_tpu.graph.batch import (
+    GraphData,
+    batch_iterator,
+    capacity_for,
+    pack_graphs,
+)
+from tests.conftest import make_random_graph
+
+
+def test_pack_basic(rng):
+    graphs = [make_random_graph(rng, n) for n in (5, 9, 7)]
+    n_cap, e_cap, g_cap = capacity_for(graphs)
+    b = pack_graphs(graphs, n_cap, e_cap, g_cap)
+
+    total_nodes = sum(g.n_node for g in graphs)
+    total_edges = sum(g.n_edge for g in graphs)
+    assert int(np.sum(np.asarray(b.node_mask))) == total_nodes
+    assert int(np.sum(np.asarray(b.edge_mask))) == total_edges
+    assert int(np.sum(np.asarray(b.graph_mask))) == 3
+    # padding graph is the last slot and owns all pad nodes
+    node_graph = np.asarray(b.node_graph)
+    assert np.all(node_graph[total_nodes:] == g_cap - 1)
+    # receivers sorted ascending, CSR offsets consistent
+    recv = np.asarray(b.receivers)
+    assert np.all(np.diff(recv) >= 0)
+    ro = np.asarray(b.row_offsets)
+    for nidx in range(n_cap):
+        seg = recv[ro[nidx] : ro[nidx + 1]]
+        assert np.all(seg == nidx)
+    # pad edges are dead-node self-loops
+    send = np.asarray(b.senders)
+    pad = ~np.asarray(b.edge_mask)
+    assert np.all(send[pad] == n_cap - 1)
+    assert np.all(recv[pad] == n_cap - 1)
+
+
+def test_pack_edge_content_preserved(rng):
+    g = make_random_graph(rng, 6)
+    n_cap, e_cap, g_cap = capacity_for([g])
+    b = pack_graphs([g], n_cap, e_cap, g_cap)
+    # every original (sender, receiver, attr) triple appears exactly once
+    got = {
+        (int(s), int(r)): np.asarray(b.edges)[i]
+        for i, (s, r) in enumerate(zip(np.asarray(b.senders), np.asarray(b.receivers)))
+        if np.asarray(b.edge_mask)[i]
+    }
+    for s, r, a in zip(g.senders, g.receivers, g.edge_attr):
+        np.testing.assert_allclose(got[(int(s), int(r))], a)
+
+
+def test_pack_overflow_raises(rng):
+    g = make_random_graph(rng, 10)
+    with pytest.raises(ValueError):
+        pack_graphs([g], g.n_node, 10_000, 2)  # no room for dead node
+
+
+def test_supernode_index(rng):
+    graphs = [make_random_graph(rng, n, supernode=True) for n in (4, 6)]
+    n_cap, e_cap, g_cap = capacity_for(graphs)
+    b = pack_graphs(graphs, n_cap, e_cap, g_cap)
+    sn = np.asarray(b.supernode_index)
+    assert sn[0] == 3
+    assert sn[1] == 4 + 6 - 1
+    assert sn[2] == n_cap - 1  # pad graph -> dead node
+
+
+def test_batch_iterator_fixed_shapes(rng):
+    graphs = [make_random_graph(rng, int(n)) for n in rng.integers(4, 12, size=10)]
+    batches = list(batch_iterator(graphs, 4, 64, 256))
+    assert all(b.nodes.shape == batches[0].nodes.shape for b in batches)
+    total = sum(int(np.sum(np.asarray(b.graph_mask))) for b in batches)
+    assert total == 10
+
+
+def test_node_level_targets(rng):
+    graphs = [
+        make_random_graph(rng, n, graph_target_dim=3, node_level=True)
+        for n in (5, 7)
+    ]
+    n_cap, e_cap, g_cap = capacity_for(graphs)
+    b = pack_graphs(graphs, n_cap, e_cap, g_cap)
+    assert b.y.shape == (n_cap, 3)
+    np.testing.assert_allclose(np.asarray(b.y)[:5], graphs[0].y)
+    np.testing.assert_allclose(np.asarray(b.y)[5:12], graphs[1].y)

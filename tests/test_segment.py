@@ -1,0 +1,69 @@
+"""Segment ops vs numpy oracles (torch_scatter semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from buckgnn_tpu.ops import segment
+from buckgnn_tpu.ops.sage import sage_aggregate
+
+
+def _np_segment(data, ids, n, op):
+    out = np.zeros((n,) + data.shape[1:], dtype=np.float64)
+    cnt = np.zeros((n,))
+    if op == "max":
+        out[:] = -np.inf
+    for i, s in enumerate(ids):
+        if op == "max":
+            out[s] = np.maximum(out[s], data[i])
+        else:
+            out[s] += data[i]
+        cnt[s] += 1
+    if op == "mean":
+        out = out / np.maximum(cnt, 1)[:, None]
+    if op == "max":
+        out[cnt == 0] = 0.0
+    return out
+
+
+def test_segment_ops_match_oracle():
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(40, 8)).astype(np.float32)
+    ids = np.sort(rng.integers(0, 10, size=40)).astype(np.int32)
+    for op, fn in [
+        ("sum", segment.segment_sum),
+        ("mean", segment.segment_mean),
+        ("max", segment.segment_max),
+    ]:
+        got = np.asarray(fn(jnp.asarray(data), jnp.asarray(ids), 10))
+        want = _np_segment(data, ids, 10, op)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_empty_segments_zero():
+    data = jnp.ones((4, 3))
+    ids = jnp.array([0, 0, 3, 3], dtype=jnp.int32)
+    for fn in (segment.segment_mean, segment.segment_max, segment.segment_sum):
+        out = np.asarray(fn(data, ids, 6))
+        assert np.all(out[1] == 0) and np.all(out[4] == 0)
+
+
+def test_sage_aggregate_directions():
+    # path graph 0-1-2, both directions
+    x = jnp.asarray(np.array([[1.0], [10.0], [100.0]], np.float32))
+    senders = jnp.array([1, 0, 2, 1], dtype=jnp.int32)
+    receivers = jnp.array([0, 1, 1, 2], dtype=jnp.int32)
+    out = np.asarray(sage_aggregate(x, senders, receivers, 3, aggr="add"))
+    np.testing.assert_allclose(out[:, 0], [10.0, 101.0, 10.0])
+    out = np.asarray(sage_aggregate(x, senders, receivers, 3, aggr="mean"))
+    np.testing.assert_allclose(out[:, 0], [10.0, 50.5, 10.0])
+    out = np.asarray(sage_aggregate(x, senders, receivers, 3, aggr="max"))
+    np.testing.assert_allclose(out[:, 0], [10.0, 100.0, 10.0])
+
+
+def test_segment_softmax_weights():
+    logits = jnp.array([0.0, 1.0, 2.0, 5.0], dtype=jnp.float32)
+    ids = jnp.array([0, 0, 1, 1], dtype=jnp.int32)
+    w = np.asarray(segment.segment_softmax_weights(logits, ids, 3))
+    np.testing.assert_allclose(w[:2].sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(w[2:].sum(), 1.0, rtol=1e-6)
+    assert w[1] > w[0] and w[3] > w[2]
