@@ -76,8 +76,10 @@ class SAGEConv(nn.Module):
             agg
         ) + nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_r")(x)
         if self.normalize:
-            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
-            out = out / jnp.maximum(norm, 1e-12)
+            # F.normalize parity (clamp norm at 1e-12) with a grad-safe sqrt:
+            # plain norm has NaN gradient on exactly-zero rows (padding).
+            sq = jnp.sum(out * out, axis=-1, keepdims=True)
+            out = out / jnp.sqrt(jnp.maximum(sq, 1e-24))
         return out
 
 

@@ -1,0 +1,335 @@
+"""Training loop — jit-compiled steps, loss on denormalized targets.
+
+Re-designs train_gnn (TRAIN_FINAL.py:168-455) TPU-first:
+
+- ONE compiled train step and ONE compiled eval step for the whole run
+  (fixed-capacity batches) — no per-batch host sync; metrics are device
+  scalars fetched once per epoch.
+- Loss is computed on denormalized eigenvalues exactly like the reference
+  (TRAIN_FINAL.py:262: criterion(denorm(pred), denorm(y))).
+- Adam + weight decay matches torch.optim.Adam(weight_decay=...) (L2 added
+  to the gradient before the moment updates), cosine/warm-restart schedule
+  stepped per epoch (TRAIN_FINAL.py:190-205,311-312).
+- Checkpoints last/best-by-val-MAPE each epoch (TRAIN_FINAL.py:391-429),
+  but with optimizer state included so training truly resumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from buckgnn_tpu.config import TrainConfig, checkpoint_config_dict
+from buckgnn_tpu.graph.batch import GraphBatch, GraphData, batch_iterator, suggest_capacities
+from buckgnn_tpu.graph.normalizer import DatasetNormalizer
+from buckgnn_tpu.models.buckgnn import BuckGNN
+from buckgnn_tpu.train import checkpoint as ckpt
+from buckgnn_tpu.train.losses import GRAPH_FAMILY, get_loss_function
+from buckgnn_tpu.train.metrics import MAPE_error, stress_errors
+from buckgnn_tpu.train.schedule import lr_for_epoch
+from buckgnn_tpu.utils.logging import MetricsWriter, ResultsFile
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    epoch: int
+
+
+def build_model(cfg: TrainConfig, num_node_features: int,
+                num_edge_features: int) -> BuckGNN:
+    return BuckGNN(
+        num_node_features=num_node_features,
+        num_edge_features=num_edge_features,
+        hidden_channels=cfg.hidden_channels,
+        num_layers=cfg.num_layers,
+        pooling_layer=cfg.pooling_layer,
+        prediction_type=cfg.prediction_type,
+        use_z_coord=cfg.use_z_coord,
+        use_rotations=cfg.use_rotations,
+        dropout_rate=cfg.dropout_rate,
+        model_name=cfg.model_name,
+        dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        impl=cfg.segment_impl,
+    )
+
+
+def make_optimizer(cfg: TrainConfig):
+    """torch.optim.Adam(lr, weight_decay) parity: wd adds w*param to the
+    gradient BEFORE the Adam moments; LR is applied outside (per-epoch)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def _denorm_fns(normalizer: DatasetNormalizer, prediction_type: str):
+    stats = normalizer.device_stats() if normalizer is not None else {}
+    if prediction_type == "buckling":
+        scale = stats.get("eigenvalue_scale", np.float32(1.0))
+        center = stats.get("eigenvalue_center", np.float32(0.0))
+        return (lambda v: v * scale + center), (scale, center)
+    if prediction_type == "static_disp":
+        scale = stats.get("displacement_scale", np.ones(2, np.float32))
+        center = stats.get("displacement_center", np.zeros(2, np.float32))
+        return (lambda v: v * scale + center), (scale, center)
+    if prediction_type == "static_stress":
+        scale = stats.get("gp_stress_scale", np.ones(3, np.float32))
+        center = stats.get("gp_stress_center", np.zeros(3, np.float32))
+        return (lambda v: v * scale + center), (scale, center)
+    return (lambda v: v), (np.float32(1.0), np.float32(0.0))
+
+
+def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
+                    normalizer: DatasetNormalizer | None):
+    """One jitted optimization step. Returns (state, metrics dict)."""
+    prediction_type = cfg.prediction_type
+    is_graph_loss = cfg.loss_function in GRAPH_FAMILY
+    denorm, (ev_scale, ev_center) = _denorm_fns(normalizer, prediction_type)
+
+    def compute_loss(pred, aux, batch: GraphBatch):
+        if prediction_type == "buckling":
+            y = batch.y[:, 0]
+            return criterion(denorm(pred), denorm(y), batch.graph_mask)
+        mask = aux["real_node_mask"]
+        if "static" in prediction_type:
+            dp, dy = denorm(pred), denorm(batch.y)
+            if is_graph_loss:
+                return criterion(dp, dy, batch.node_graph, mask,
+                                 batch.graph_mask, batch.nodes)
+            return criterion(dp, dy, mask)
+        # mode_shape: loss on normalized values (TRAIN_FINAL.py:293-294)
+        if is_graph_loss:
+            return criterion(pred, batch.y, batch.node_graph, mask,
+                             batch.graph_mask, batch.nodes)
+        return criterion(pred, batch.y, mask)
+
+    def compute_metrics(pred, aux, batch: GraphBatch):
+        if prediction_type == "buckling":
+            return {
+                "mape": MAPE_error(pred, batch.y[:, 0], batch.graph_mask,
+                                   "buckling", ev_scale, ev_center)
+            }
+        return {}
+
+    @jax.jit
+    def train_step(state: TrainState, batch: GraphBatch, dropout_key, lr):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (pred, aux), mutated = model.apply(
+                variables, batch, deterministic=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+            loss = compute_loss(pred, aux, batch)
+            return loss, (mutated.get("batch_stats", state.batch_stats),
+                          compute_metrics(pred, aux, batch))
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, params=new_params, batch_stats=new_bs, opt_state=new_opt
+        )
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: GraphBatch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        pred, aux = model.apply(variables, batch, deterministic=True)
+        loss = compute_loss(pred, aux, batch)
+        metrics = compute_metrics(pred, aux, batch)
+        metrics["loss"] = loss
+        return metrics, (pred, aux)
+
+    return train_step, eval_step
+
+
+def init_state(model: BuckGNN, optimizer, sample_batch: GraphBatch,
+               seed: int = 0) -> TrainState:
+    variables = model.init(jax.random.key(seed), sample_batch,
+                           deterministic=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, epoch=0)
+
+
+def slice_static_targets(
+    dataset: Sequence[GraphData], prediction_type: str
+) -> list[GraphData]:
+    """Target slicing for static runs (TRAIN_FINAL.py:1268-1279): the builder
+    emits [disp | stress] node targets; static_disp keeps the first block,
+    static_stress the last 3 columns."""
+    if "static" not in prediction_type:
+        return list(dataset)
+    disp_dim = dataset[0].y.shape[1] - 3
+    out = []
+    for d in dataset:
+        y = d.y[:, disp_dim:] if prediction_type == "static_stress" else (
+            d.y[:, :disp_dim]
+        )
+        out.append(dataclasses.replace(d, y=y))
+    return out
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: TrainState
+    best_val_mape: float
+    history: list
+    log_dir: str
+
+
+def train_gnn(
+    cfg: TrainConfig,
+    train_data: Sequence[GraphData],
+    val_data: Sequence[GraphData],
+    normalizer: DatasetNormalizer | None,
+    output_dir: str,
+    trial_id: str | None = None,
+    n_node_cap: int | None = None,
+    n_edge_cap: int | None = None,
+    resume_from: str | None = None,
+    report_fn=None,
+    verbose: bool = True,
+) -> TrainResult:
+    """The train_gnn orchestration (TRAIN_FINAL.py:168-455)."""
+    train_data = slice_static_targets(train_data, cfg.prediction_type)
+    val_data = slice_static_targets(val_data, cfg.prediction_type)
+    trial_id = trial_id or f"manual_run_{int(time.time())}"
+    log_dir = os.path.join(output_dir, "tensorboard_logs", trial_id)
+    writer = MetricsWriter(log_dir)
+    results = ResultsFile(
+        os.path.join(log_dir, "results.txt"),
+        header={"trial_id": trial_id, **dataclasses.asdict(cfg)},
+    )
+    wdir = os.path.join(log_dir, "weights")
+    os.makedirs(wdir, exist_ok=True)
+
+    num_node_features = train_data[0].x.shape[1]
+    num_edge_features = train_data[0].edge_attr.shape[1]
+    if n_node_cap is None or n_edge_cap is None:
+        n_cap, e_cap = suggest_capacities(
+            list(train_data) + list(val_data), cfg.batch_size
+        )
+        n_node_cap = n_node_cap or n_cap
+        n_edge_cap = n_edge_cap or e_cap
+
+    model = build_model(cfg, num_node_features, num_edge_features)
+    optimizer = make_optimizer(cfg)
+
+    all_values = (
+        [float(np.reshape(d.y, (-1,))[0]) for d in train_data]
+        if cfg.prediction_type == "buckling"
+        else np.concatenate([np.reshape(d.y, (-1,)) for d in train_data])
+    )
+    criterion = get_loss_function(cfg.loss_function, all_values,
+                                  cfg.use_z_coord, cfg.use_rotations)
+    train_step, eval_step = make_train_step(model, optimizer, criterion, cfg,
+                                            normalizer)
+
+    def pack(data, shuffle, seed):
+        return list(
+            batch_iterator(data, cfg.batch_size, n_node_cap, n_edge_cap,
+                           shuffle=shuffle, seed=seed)
+        )
+
+    train_batches = pack(train_data, True, cfg.seed)
+    val_batches = pack(val_data, False, 0)
+
+    state = init_state(model, optimizer, train_batches[0], cfg.seed)
+    start_epoch = 0
+    if resume_from is not None:
+        state, _, _, _ = ckpt.load_checkpoint(resume_from, state)
+        start_epoch = int(state.epoch)
+
+    cfg_dict = checkpoint_config_dict(cfg, num_node_features, num_edge_features)
+    key = jax.random.key(cfg.seed + 1)
+    best_fitness = 1e10
+    history = []
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        lr = lr_for_epoch(cfg, epoch)
+        if cfg.repack_every_epoch and epoch > start_epoch:
+            train_batches = pack(train_data, True, cfg.seed + epoch)
+        order = np.random.default_rng(cfg.seed + epoch).permutation(
+            len(train_batches)
+        )
+        train_loss = 0.0
+        train_mape = 0.0
+        for bi in order:
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, train_batches[bi],
+                                        sub, jnp.float32(lr))
+            train_loss += float(metrics["loss"])
+            if "mape" in metrics:
+                train_mape += float(metrics["mape"])
+        train_loss /= len(train_batches)
+        train_mape /= len(train_batches)
+
+        val_loss = 0.0
+        val_mape = 0.0
+        for b in val_batches:
+            metrics, _ = eval_step(state, b)
+            val_loss += float(metrics["loss"])
+            if "mape" in metrics:
+                val_mape += float(metrics["mape"])
+        val_loss /= len(val_batches)
+        val_mape /= len(val_batches)
+
+        writer.add_scalar("Learning_Rate", lr, epoch)
+        writer.add_scalar("Loss/train", train_loss, epoch)
+        writer.add_scalar("Loss/validation", val_loss, epoch)
+        if cfg.prediction_type == "buckling":
+            writer.add_scalar("MAPE/train", train_mape, epoch)
+            writer.add_scalar("MAPE/val", val_mape, epoch)
+
+        state = dataclasses.replace(state, epoch=epoch + 1)
+        ckpt.save_checkpoint(os.path.join(wdir, "last"), state, cfg,
+                             cfg_dict, normalizer)
+        if cfg.prediction_type == "buckling" and val_mape < best_fitness:
+            best_fitness = val_mape
+            ckpt.save_checkpoint(os.path.join(wdir, "best"), state, cfg,
+                                 cfg_dict, normalizer)
+
+        s = (
+            f"Epoch {epoch + 1}/{cfg.num_epochs}, Train_Loss: {train_loss:.4f}, "
+            f"Train_Mape: {train_mape:.2f}%, Val_Loss: {val_loss:.4f}, "
+            f"Val_Mape:{val_mape:.2f}%"
+        )
+        results.append(s)
+        if verbose:
+            print(s)
+        history.append(
+            dict(epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+                 train_mape=train_mape, val_mape=val_mape, lr=lr)
+        )
+        if report_fn is not None:
+            # Ray-Tune-style reporting hook (TRAIN_FINAL.py:447-453);
+            # returns False to early-stop (ASHA-like schedulers).
+            if report_fn(history[-1]) is False:
+                break
+
+    writer.close()
+    return TrainResult(state=state, best_val_mape=best_fitness,
+                       history=history, log_dir=log_dir)
