@@ -1,0 +1,115 @@
+"""Benchmark: flagship 6-layer hidden-512 SAGE, edges/s/chip + step time.
+
+Protocol mirrors the reference's INFERENCE_TIMER.py:151-270 (batch-128
+forward with warmup, then timed loop) extended with a training-step
+measurement; the primary metric follows BASELINE.json: edges/s/chip for the
+6-layer h=512 SAGE stack.
+
+The V100 baseline constant below is an estimate (the reference records no
+hard numbers — SURVEY §6): a V100 running PyG SAGEConv at ~10 effective
+fp32 TFLOP/s on this model shape sustains roughly 5e6 directed edges/s of
+training throughput. vs_baseline = ours / that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+V100_TRAIN_EDGES_PER_S_EST = 5.0e6
+
+
+def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
+                      min_side=24, max_side=32, n_graphs=None):
+    import jax
+
+    from buckgnn_tpu.config import TrainConfig
+    from buckgnn_tpu.graph.batch import batch_iterator, suggest_capacities
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    from buckgnn_tpu.train.losses import get_loss_function
+    from buckgnn_tpu.train.trainer import (
+        build_model, init_state, make_optimizer, make_train_step,
+    )
+
+    n_graphs = n_graphs or batch_size
+    ds = generate_dataset(n_graphs, seed=seed, min_side=min_side,
+                          max_side=max_side)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=hidden, num_layers=num_layers,
+                      batch_size=batch_size)
+    ncap, ecap = suggest_capacities(normed, batch_size, slack=1.12)
+    batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap)))
+    model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
+    opt = make_optimizer(cfg)
+    state = init_state(model, opt, batch, seed=0)
+    criterion = get_loss_function(cfg.loss_function)
+    train_step, eval_step = make_train_step(model, opt, criterion, cfg, nz)
+    n_edges = int(np.sum(np.asarray(batch.edge_mask)))
+    n_graphs_real = int(np.sum(np.asarray(batch.graph_mask)))
+    return dict(state=state, batch=batch, train_step=train_step,
+                eval_step=eval_step, n_edges=n_edges, n_graphs=n_graphs_real,
+                key=jax.random.key(0))
+
+
+def run_bench(setup, n_warmup=3, n_steps=20):
+    import jax
+    import jax.numpy as jnp
+
+    state, batch = setup["state"], setup["batch"]
+    train_step, eval_step = setup["train_step"], setup["eval_step"]
+    key = setup["key"]
+    lr = jnp.float32(1e-3)
+
+    # warm up compile + the first device<->host transfer of this process
+    for _ in range(n_warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub, lr)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub, lr)
+    jax.block_until_ready(metrics["loss"])
+    train_dt = (time.perf_counter() - t0) / n_steps
+
+    m, _ = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        m, _ = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    infer_dt = (time.perf_counter() - t0) / n_steps
+
+    return dict(
+        train_step_ms=train_dt * 1e3,
+        infer_step_ms=infer_dt * 1e3,
+        train_edges_per_s=setup["n_edges"] / train_dt,
+        infer_edges_per_s=setup["n_edges"] / infer_dt,
+        infer_samples_per_s=setup["n_graphs"] / infer_dt,
+        n_edges=setup["n_edges"],
+        n_graphs=setup["n_graphs"],
+    )
+
+
+def main():
+    setup = build_bench_setup()
+    res = run_bench(setup)
+    value = res["train_edges_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "train_edges_per_s_per_chip_6L_h512",
+                "value": round(value, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(value / V100_TRAIN_EDGES_PER_S_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

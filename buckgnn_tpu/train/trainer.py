@@ -275,27 +275,29 @@ def train_gnn(
         order = np.random.default_rng(cfg.seed + epoch).permutation(
             len(train_batches)
         )
-        train_loss = 0.0
-        train_mape = 0.0
+        # Metrics stay on device across the epoch (one host fetch per epoch);
+        # the reference syncs per batch via .item() (TRAIN_FINAL.py:298).
+        acc = None
         for bi in order:
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, train_batches[bi],
                                         sub, jnp.float32(lr))
-            train_loss += float(metrics["loss"])
-            if "mape" in metrics:
-                train_mape += float(metrics["mape"])
-        train_loss /= len(train_batches)
-        train_mape /= len(train_batches)
+            acc = metrics if acc is None else jax.tree.map(
+                jnp.add, acc, metrics
+            )
+        acc = jax.device_get(acc)
+        train_loss = float(acc["loss"]) / len(train_batches)
+        train_mape = float(acc.get("mape", 0.0)) / len(train_batches)
 
-        val_loss = 0.0
-        val_mape = 0.0
+        vacc = None
         for b in val_batches:
             metrics, _ = eval_step(state, b)
-            val_loss += float(metrics["loss"])
-            if "mape" in metrics:
-                val_mape += float(metrics["mape"])
-        val_loss /= len(val_batches)
-        val_mape /= len(val_batches)
+            vacc = metrics if vacc is None else jax.tree.map(
+                jnp.add, vacc, metrics
+            )
+        vacc = jax.device_get(vacc)
+        val_loss = float(vacc["loss"]) / len(val_batches)
+        val_mape = float(vacc.get("mape", 0.0)) / len(val_batches)
 
         writer.add_scalar("Learning_Rate", lr, epoch)
         writer.add_scalar("Loss/train", train_loss, epoch)

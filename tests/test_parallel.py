@@ -1,0 +1,145 @@
+"""Multi-device execution on the virtual 8-device CPU mesh: DP training-step
+parity with single-device, edge-partitioned aggregation parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buckgnn_tpu.config import TrainConfig
+from buckgnn_tpu.graph.batch import batch_iterator, suggest_capacities
+from buckgnn_tpu.graph.normalizer import normalize_dataset
+from buckgnn_tpu.graph.synthetic import generate_dataset
+from buckgnn_tpu.parallel.dp import (
+    make_parallel_train_step,
+    shard_stacked_batch,
+    stack_batches,
+)
+from buckgnn_tpu.parallel.edge_partition import edge_partitioned_aggregate
+from buckgnn_tpu.parallel.mesh import make_mesh
+from buckgnn_tpu.train.losses import get_loss_function
+from buckgnn_tpu.train.trainer import (
+    build_model,
+    init_state,
+    make_optimizer,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_edge_partitioned_aggregate_matches_local(rng):
+    mesh = make_mesh(n_data=1, n_model=4)
+    n, e = 32, 256
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    senders = jnp.asarray(rng.integers(0, n, size=e).astype(np.int32))
+    receivers = jnp.asarray(np.sort(rng.integers(0, n, size=e)).astype(np.int32))
+    for aggr in ("add", "mean", "max"):
+        got = edge_partitioned_aggregate(x, senders, receivers, mesh, aggr)
+        from buckgnn_tpu.ops.sage import sage_aggregate
+
+        want = sage_aggregate(x, senders, receivers, n, aggr=aggr,
+                              indices_are_sorted=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+@pytest.fixture(scope="module")
+def dp_setup():
+    ds = generate_dataset(32, seed=0, min_side=3, max_side=5)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=16, num_layers=2, batch_size=4,
+                      dropout_rate=0.0, lr=1e-3)
+    ncap, ecap = suggest_capacities(normed, 4)
+    ecap = ((ecap + 255) // 256) * 256  # divisible by model axis
+    batches = list(batch_iterator(normed, 4, ncap, ecap))[:4]
+    return cfg, normed, nz, batches
+
+
+def test_dp_train_step_matches_sequential_loss(dp_setup):
+    """Stacked-vmap DP loss == weighted mean of per-batch single-device
+    losses."""
+    cfg, normed, nz, batches = dp_setup
+    model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
+    opt = make_optimizer(cfg)
+    state = init_state(model, opt, batches[0])
+    criterion = get_loss_function(cfg.loss_function)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    pstep = make_parallel_train_step(model, opt, criterion, cfg, nz, mesh)
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    key = jax.random.key(0)
+    new_state, metrics = pstep(state, stacked, key, jnp.float32(cfg.lr))
+    dp_loss = float(metrics["loss"])
+
+    # sequential reference
+    tstep, estep = make_train_step(model, opt, criterion, cfg, nz)
+    losses, weights = [], []
+    for b in batches:
+        m, _ = estep(state, b)
+        losses.append(float(m["loss"]))
+        weights.append(float(np.sum(np.asarray(b.graph_mask))))
+    want = np.sum(np.array(losses) * np.array(weights)) / np.sum(weights)
+    np.testing.assert_allclose(dp_loss, want, rtol=1e-5)
+    # params actually changed
+    a = jax.tree.leaves(state.params)[0]
+    b_ = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b_))
+
+
+def test_dp_grads_match_large_batch(dp_setup):
+    """DP over 4 shards == single-device step over the union batch: the
+    parameters after one step must match (weighted-loss equivalence)."""
+    import optax
+
+    cfg, normed, nz, batches = dp_setup
+    model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
+    # SGD (identity transform; the step scales by -lr) so parameter deltas are
+    # LINEAR in the gradients — Adam's first step is sign-like and amplifies
+    # numerical noise on near-zero gradients.
+    opt = optax.identity()
+    state = init_state(model, opt, batches[0])
+    criterion = get_loss_function(cfg.loss_function)
+    mesh = make_mesh(n_data=4, n_model=1)
+
+    # shard batches built explicitly as quartets of normed[:16] so the DP
+    # union equals the big batch exactly (batch_iterator may spill on
+    # capacity and shift composition)
+    from buckgnn_tpu.graph.batch import pack_graphs
+
+    ncap0 = batches[0].n_node_cap * 2
+    ecap0 = batches[0].n_edge_cap * 2
+    quartets = [
+        pack_graphs(list(normed[i : i + 4]), ncap0, ecap0, 5)
+        for i in range(0, 16, 4)
+    ]
+    state = init_state(model, opt, quartets[0])
+    pstep = make_parallel_train_step(model, opt, criterion, cfg, nz, mesh)
+    stacked = shard_stacked_batch(stack_batches(quartets), mesh)
+    new_state, _ = pstep(state, stacked, jax.random.key(0),
+                         jnp.float32(cfg.lr))
+
+    graphs = list(normed[:16])
+    ncap = ncap0 * 4
+    ecap = ecap0 * 4
+    big = pack_graphs(graphs, ncap, ecap, 17)
+    tstep, _ = make_train_step(model, opt, criterion, cfg, nz)
+    big_state, _ = tstep(state, big, jax.random.key(1), jnp.float32(cfg.lr))
+
+    for p0, a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(big_state.params)):
+        da = np.asarray(a) - np.asarray(p0)  # == -lr * grad_dp
+        db = np.asarray(b) - np.asarray(p0)  # == -lr * grad_big
+        np.testing.assert_allclose(da, db, rtol=2e-2, atol=1e-7)
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
