@@ -22,7 +22,9 @@ V100_TRAIN_EDGES_PER_S_EST = 5.0e6
 
 
 def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
-                      min_side=24, max_side=32, n_graphs=None):
+                      min_side=24, max_side=32, n_graphs=None,
+                      impl="banded", compute_dtype="float32",
+                      band_width=128, band_tile=256, use_super_node=False):
     import jax
 
     from buckgnn_tpu.config import TrainConfig
@@ -36,12 +38,19 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
 
     n_graphs = n_graphs or batch_size
     ds = generate_dataset(n_graphs, seed=seed, min_side=min_side,
-                          max_side=max_side)
+                          max_side=max_side, use_super_node=use_super_node,
+                          use_virtual_edges=not use_super_node)
     normed, nz = normalize_dataset(ds)
     cfg = TrainConfig(hidden_channels=hidden, num_layers=num_layers,
-                      batch_size=batch_size)
+                      batch_size=batch_size, segment_impl=impl,
+                      compute_dtype=compute_dtype)
     ncap, ecap = suggest_capacities(normed, batch_size, slack=1.12)
-    batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap)))
+    bw = band_width if impl == "banded" else None
+    if bw is not None:
+        ncap = ((max(ncap, band_tile + bw) + band_tile - 1)
+                // band_tile) * band_tile
+    batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap,
+                                     band_width=bw, band_tile=band_tile)))
     model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
     opt = make_optimizer(cfg)
     state = init_state(model, opt, batch, seed=0)

@@ -68,7 +68,16 @@ class GraphData:
 
 @struct.dataclass
 class GraphBatch:
-    """Device-side fixed-capacity batch; a pytree of statically-shaped arrays."""
+    """Device-side fixed-capacity batch; a pytree of statically-shaped arrays.
+
+    The optional *banded* fields hold a block-banded adjacency decomposition
+    for the SAGE hot path (see `ops.banded`): under a locality-preserving
+    node order, nearly all mesh edges fall inside a band of width W around
+    the diagonal, so neighbor aggregation becomes dense [T, T+W] x [T+W, H]
+    slab matmuls on the MXU with no gather/scatter; out-of-band edges spill
+    to a small gather list, and supernode star edges are handled exactly via
+    per-graph segment ops.
+    """
 
     nodes: jnp.ndarray            # [N_cap, F]  float
     edges: jnp.ndarray            # [E_cap, Fe] float
@@ -82,6 +91,15 @@ class GraphBatch:
     supernode_index: jnp.ndarray  # [G_cap] int32 (dead node for absent)
     row_offsets: jnp.ndarray      # [N_cap+1] int32 CSR offsets (receiver-sorted)
     n_real_node: jnp.ndarray      # [G_cap] int32 per-graph real node counts
+    # ---- optional banded decomposition (None unless band_width was set) ----
+    band_senders: jnp.ndarray | None = None     # [Eb] in-band edges
+    band_receivers: jnp.ndarray | None = None   # [Eb]
+    spill_senders: jnp.ndarray | None = None    # [Es] out-of-band edges
+    spill_receivers: jnp.ndarray | None = None  # [Es] (receiver-sorted)
+    # static metadata (not traced)
+    band_tile: int | None = struct.field(pytree_node=False, default=None)
+    band_width: int | None = struct.field(pytree_node=False, default=None)
+    has_supernode_edges: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_node_cap(self) -> int:
@@ -127,12 +145,74 @@ def capacity_for(
     )
 
 
+def _band_split(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_valid: np.ndarray,
+    supernode_index: np.ndarray,
+    n_real_node: np.ndarray,
+    node_graph: np.ndarray,
+    n_node_cap: int,
+    tile: int,
+    width: int,
+):
+    """Split edges into (band, spill, supernode-star) classes for the banded
+    SAGE path. Returns (band_s, band_r, spill_s, spill_r, has_super_edges)
+    with both lists padded to a multiple of 128 with dead-node self-loops.
+    """
+    dead = n_node_cap - 1
+    slab = tile + width
+    is_super = np.zeros(n_node_cap, dtype=bool)
+    real_super = supernode_index < dead
+    is_super[supernode_index[real_super]] = True
+
+    touches_super = is_super[senders] | is_super[receivers]
+    has_super_edges = False
+    super_edge = np.zeros_like(touches_super)
+    if touches_super.any():
+        # Only special-case when every supernode forms a FULL star
+        # (2*(n_g - 1) directed edges), which the builders guarantee; the
+        # analytic aggregation path assumes exactly that pattern.
+        count = np.zeros(len(supernode_index), dtype=np.int64)
+        gids = node_graph[
+            np.where(is_super[senders], receivers, senders)
+        ]
+        np.add.at(count, gids[touches_super & edge_valid], 1)
+        expected = np.where(real_super, 2 * (n_real_node - 1), 0)
+        if np.array_equal(count, expected):
+            has_super_edges = True
+            super_edge = touches_super & edge_valid
+
+    cand = edge_valid & ~super_edge
+    t = receivers // tile
+    start = np.clip(t * tile - width // 2, 0, max(n_node_cap - slab, 0))
+    k = senders - start
+    inband = cand & (k >= 0) & (k < slab)
+    spill = cand & ~inband
+
+    def pad_sorted(s, r):
+        order = np.argsort(r, kind="stable")
+        s, r = s[order], r[order]
+        n = len(s)
+        m = max(_round_up(n, 128), 128)
+        ps = np.full(m, dead, np.int32)
+        pr = np.full(m, dead, np.int32)
+        ps[:n], pr[:n] = s, r
+        return ps, pr
+
+    band_s, band_r = pad_sorted(senders[inband], receivers[inband])
+    spill_s, spill_r = pad_sorted(senders[spill], receivers[spill])
+    return band_s, band_r, spill_s, spill_r, has_super_edges
+
+
 def pack_graphs(
     graphs: Sequence[GraphData],
     n_node_cap: int,
     n_edge_cap: int,
     n_graph_cap: int,
     np_dtype=np.float32,
+    band_width: int | None = None,
+    band_tile: int = 256,
 ) -> GraphBatch:
     """Pack host graphs into one fixed-capacity `GraphBatch`.
 
@@ -208,6 +288,28 @@ def pack_graphs(
     row_offsets = np.zeros((n_node_cap + 1,), dtype=np.int32)
     np.cumsum(np.bincount(receivers, minlength=n_node_cap), out=row_offsets[1:])
 
+    band_kw: dict = {}
+    if band_width is not None:
+        if n_node_cap % band_tile:
+            raise ValueError(
+                f"banded packing needs n_node_cap % {band_tile} == 0"
+            )
+        if n_node_cap < band_tile + band_width:
+            raise ValueError("n_node_cap smaller than one slab")
+        bs, br, ss, sr, has_super = _band_split(
+            senders, receivers, edge_mask, supernode_index, n_real_node,
+            node_graph, n_node_cap, band_tile, band_width,
+        )
+        band_kw = dict(
+            band_senders=jnp.asarray(bs),
+            band_receivers=jnp.asarray(br),
+            spill_senders=jnp.asarray(ss),
+            spill_receivers=jnp.asarray(sr),
+            band_tile=band_tile,
+            band_width=band_width,
+            has_supernode_edges=has_super,
+        )
+
     return GraphBatch(
         nodes=jnp.asarray(nodes),
         edges=jnp.asarray(edges),
@@ -221,6 +323,7 @@ def pack_graphs(
         supernode_index=jnp.asarray(supernode_index),
         row_offsets=jnp.asarray(row_offsets),
         n_real_node=jnp.asarray(n_real_node),
+        **band_kw,
     )
 
 
@@ -232,6 +335,8 @@ def batch_iterator(
     shuffle: bool = False,
     seed: int = 0,
     drop_remainder: bool = False,
+    band_width: int | None = None,
+    band_tile: int = 256,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
@@ -259,7 +364,8 @@ def batch_iterator(
             or cur_edges + g.n_edge > n_edge_cap
         )
         if cur and would_overflow:
-            yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1)
+            yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
+                              band_width=band_width, band_tile=band_tile)
             cur, cur_nodes, cur_edges = [], 0, 0
         cur.append(g)
         cur_nodes += g.n_node

@@ -62,16 +62,26 @@ class SAGEConv(nn.Module):
     aggr: str = "add"
     normalize: bool = True
     dtype: jnp.dtype = jnp.float32
-    impl: str = "xla"  # 'xla' | 'pallas'
+    impl: str = "xla"  # 'xla' | 'pallas' | 'banded'
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, senders: jnp.ndarray, receivers: jnp.ndarray
+        self,
+        x: jnp.ndarray,
+        senders: jnp.ndarray,
+        receivers: jnp.ndarray,
+        agg_ctx=None,
     ) -> jnp.ndarray:
         num_nodes = x.shape[0]
-        agg = sage_aggregate(
-            x, senders, receivers, num_nodes, aggr=self.aggr, impl=self.impl
-        )
+        if agg_ctx is not None and self.impl == "banded":
+            from buckgnn_tpu.ops.banded import banded_sage_aggregate
+
+            agg = banded_sage_aggregate(x, agg_ctx, aggr=self.aggr)
+        else:
+            agg = sage_aggregate(
+                x, senders, receivers, num_nodes, aggr=self.aggr,
+                impl=self.impl if self.impl != "banded" else "xla",
+            )
         out = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(
             agg
         ) + nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_r")(x)

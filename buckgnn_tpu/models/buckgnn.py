@@ -121,6 +121,14 @@ class BuckGNN(nn.Module):
         edge_attr = batch.edges
         node_keep = batch.node_mask  # narrowed by SAG pooling
 
+        # Banded aggregation context: built once per forward, shared by all
+        # SAGE layers (ops/banded.py).
+        agg_ctx = None
+        if self.impl == "banded" and batch.band_senders is not None:
+            from buckgnn_tpu.ops.banded import make_agg_context
+
+            agg_ctx = make_agg_context(batch, band_dtype=self.dtype)
+
         # ---------------- processors ---------------- #
         if name == "GraphSage_addAggr_Shared":
             conv = SAGEConv(
@@ -129,7 +137,7 @@ class BuckGNN(nn.Module):
             )
             for i in range(L):
                 x_prev = x
-                x = conv(x, senders, receivers)
+                x = conv(x, senders, receivers, agg_ctx)
                 x = nn.relu(x)
                 if 0 < i < L - 1:
                     x = x + x_prev
@@ -157,7 +165,7 @@ class BuckGNN(nn.Module):
                 x = SAGEConv(
                     h, aggr=aggr, normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage_{i}",
-                )(x, senders, receivers)
+                )(x, senders, receivers, agg_ctx)
                 if use_bn:
                     x = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
                         x, batch.node_mask, use_running_average=deterministic
@@ -176,7 +184,7 @@ class BuckGNN(nn.Module):
                 x = SAGEConv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage_{i}",
-                )(x, senders, receivers)
+                )(x, senders, receivers, agg_ctx)
                 x_sage = x
                 bn = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")
                 x = bn(x, batch.node_mask, use_running_average=deterministic)
@@ -218,7 +226,7 @@ class BuckGNN(nn.Module):
                 x = SAGEConv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage1_{i}",
-                )(x, senders, receivers)
+                )(x, senders, receivers, agg_ctx)
                 x = MaskedBatchNorm(dtype=self.dtype, name=f"bn1_{i}")(
                     x, batch.node_mask, use_running_average=deterministic
                 )
@@ -226,13 +234,13 @@ class BuckGNN(nn.Module):
                 x = dropout(x)
                 if i > 0:
                     x = x + identity
-            x, node_keep = self._sag_pool(x, batch, deterministic)
+            x, node_keep = self._sag_pool(x, batch, deterministic, agg_ctx)
             for i in range(n_after):
                 identity = x
                 x = SAGEConv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage2_{i}",
-                )(x, senders, receivers)
+                )(x, senders, receivers, agg_ctx)
                 x = x * node_keep.astype(x.dtype)[:, None]
                 x = MaskedBatchNorm(dtype=self.dtype, name=f"bn2_{i}")(
                     x, node_keep, use_running_average=deterministic
@@ -258,7 +266,7 @@ class BuckGNN(nn.Module):
                 if i > 0:
                     x = x + x_prev
                     edge_attr = edge_attr + e_prev
-            x, node_keep = self._sag_pool(x, batch, deterministic)
+            x, node_keep = self._sag_pool(x, batch, deterministic, agg_ctx)
             edge_keep = jnp.logical_and(node_keep[senders], node_keep[receivers])
             edge_attr = edge_attr * edge_keep.astype(edge_attr.dtype)[:, None]
             for i in range(n_after):
@@ -364,7 +372,7 @@ class BuckGNN(nn.Module):
             )(combined)
         raise ValueError(f"Unknown pooling layer: {p}")
 
-    def _sag_pool(self, x, batch: GraphBatch, deterministic):
+    def _sag_pool(self, x, batch: GraphBatch, deterministic, agg_ctx=None):
         """SAGPooling(ratio, GNN=SAGEConv, aggr='add') (BuckGNN.py:203-208).
 
         Static-shape variant: per-graph top-ceil(ratio*n) nodes by learned
@@ -375,7 +383,7 @@ class BuckGNN(nn.Module):
         score = SAGEConv(
             1, aggr="add", normalize=False, dtype=self.dtype, impl=self.impl,
             name="sag_score",
-        )(x, batch.senders, batch.receivers).squeeze(-1)
+        )(x, batch.senders, batch.receivers, agg_ctx).squeeze(-1)
         # Rank nodes within each graph by descending score.
         order = jnp.lexsort((-score, batch.node_graph))
         counts = segment.segment_count(batch.node_graph, batch.n_graph_cap)

@@ -45,6 +45,9 @@ def shard_stacked_batch(stacked: GraphBatch, mesh: Mesh) -> GraphBatch:
     kw = {}
     for f in dataclasses.fields(GraphBatch):
         v = getattr(stacked, f.name)
+        if v is None or not hasattr(v, "ndim"):
+            kw[f.name] = v  # absent optional arrays / static metadata
+            continue
         spec = (
             P(DATA_AXIS, MODEL_AXIS) if f.name in _EDGE_FIELDS else P(DATA_AXIS)
         )

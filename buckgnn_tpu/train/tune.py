@@ -1,0 +1,124 @@
+"""Hyperparameter search — grid expansion + ASHA-style early stopping.
+
+The reference drives Ray Tune with an ASHAScheduler over grid_search specs
+(hyperparameter_optimization, TRAIN_FINAL.py:99-147: metric Val_MAPE min for
+buckling / Validation_Loss for static, grace period, reduction factor). This
+is a dependency-free equivalent: trials run sequentially on the chip (the
+reference also ran 1 trial per GPU), each with an ASHA rung-based stopping
+hook plugged into `train_gnn`'s report_fn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+from typing import Sequence
+
+import numpy as np
+
+from buckgnn_tpu.config import TrainConfig
+from buckgnn_tpu.train.trainer import train_gnn
+
+
+@dataclasses.dataclass
+class GridSearch:
+    """Marker for grid-searched values (tune.grid_search parity,
+    TRAIN_FINAL.py:59)."""
+
+    values: Sequence
+
+
+def expand_grid(config: dict) -> list[dict]:
+    """Expand every GridSearch field into the cross-product of configs."""
+    grid_keys = [k for k, v in config.items() if isinstance(v, GridSearch)]
+    if not grid_keys:
+        return [dict(config)]
+    combos = itertools.product(*(config[k].values for k in grid_keys))
+    out = []
+    for combo in combos:
+        c = dict(config)
+        for k, v in zip(grid_keys, combo):
+            c[k] = v
+        out.append(c)
+    return out
+
+
+class ASHAStopper:
+    """Asynchronous-successive-halving rungs for a single metric.
+
+    Promotion rule: at each rung (grace_period * reduction_factor^k epochs)
+    a trial continues only if its metric is in the top 1/reduction_factor of
+    completed observations at that rung.
+    """
+
+    def __init__(self, metric="val_mape", mode="min", grace_period=1,
+                 reduction_factor=4, max_t=1000):
+        self.metric = metric
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.grace = grace_period
+        self.rf = reduction_factor
+        self.max_t = max_t
+        self.rungs: dict[int, list[float]] = {}
+        r = grace_period
+        while r < max_t:
+            self.rungs[r] = []
+            r *= reduction_factor
+
+    def should_stop(self, epoch: int, value: float) -> bool:
+        rung = epoch + 1
+        if rung not in self.rungs:
+            return False
+        scores = self.rungs[rung]
+        scores.append(self.sign * value)
+        k = max(1, math.ceil(len(scores) / self.rf))
+        cutoff = sorted(scores)[k - 1]
+        return self.sign * value > cutoff
+
+
+def hyperparameter_optimization(
+    base_config: dict,
+    train_data,
+    val_data,
+    normalizer,
+    output_dir: str,
+    prediction_type: str = "buckling",
+    grace_period: int = 1500,
+    reduction_factor: int = 4,
+    verbose: bool = False,
+):
+    """Run all grid trials with ASHA early stopping; returns
+    (best_config_dict, results list) — TRAIN_FINAL.py:99-147 parity."""
+    metric = "val_mape" if prediction_type == "buckling" else "val_loss"
+    trials = expand_grid(base_config)
+    stopper = ASHAStopper(
+        metric=metric, mode="min", grace_period=grace_period,
+        reduction_factor=reduction_factor,
+        max_t=int(base_config.get("num_epochs", 1000)),
+    )
+
+    results = []
+    for i, cdict in enumerate(trials):
+        cfg = TrainConfig(**{
+            k: v for k, v in cdict.items()
+            if k in {f.name for f in dataclasses.fields(TrainConfig)}
+        })
+
+        def report(h, _stop=stopper, _m=metric):
+            return not _stop.should_stop(h["epoch"], h[_m])
+
+        res = train_gnn(
+            cfg, train_data, val_data, normalizer, output_dir,
+            trial_id=f"trial_{i:05d}", report_fn=report, verbose=verbose,
+        )
+        final = res.history[-1]
+        results.append(dict(config=cdict, best_val_mape=res.best_val_mape,
+                            final=final, log_dir=res.log_dir))
+
+    key = (
+        (lambda r: r["best_val_mape"])
+        if prediction_type == "buckling"
+        else (lambda r: r["final"]["val_loss"])
+    )
+    best = min(results, key=key)
+    return best["config"], results

@@ -1,0 +1,97 @@
+"""Banded SAGE aggregation == gather/scatter aggregation, exactly."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from buckgnn_tpu.graph.batch import pack_graphs
+from buckgnn_tpu.graph.normalizer import normalize_dataset
+from buckgnn_tpu.graph.synthetic import generate_dataset
+from buckgnn_tpu.models.buckgnn import BuckGNN
+from buckgnn_tpu.ops.banded import banded_sage_aggregate, make_agg_context
+from buckgnn_tpu.ops.sage import sage_aggregate
+
+
+def _packed(supernode=False, n_graphs=4, seed=0, band_width=128, tile=256):
+    ds = generate_dataset(
+        n_graphs, seed=seed, min_side=5, max_side=9,
+        use_super_node=supernode, use_virtual_edges=not supernode,
+    )
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, tile + band_width) + tile - 1) // tile) * tile
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    return pack_graphs(ds, ncap, ecap, n_graphs + 1,
+                       band_width=band_width, band_tile=tile), ds
+
+
+@pytest.mark.parametrize("supernode", [False, True])
+@pytest.mark.parametrize("aggr", ["add", "mean"])
+def test_banded_matches_gather(rng, supernode, aggr):
+    batch, _ = _packed(supernode=supernode)
+    x = jnp.asarray(
+        rng.normal(size=(batch.n_node_cap, 32)).astype(np.float32)
+    )
+    # zero the dead row like the real pipeline (pad features are zero)
+    x = x.at[batch.dead_node_index].set(0.0)
+    ctx = make_agg_context(batch)
+    got = banded_sage_aggregate(x, ctx, aggr=aggr)
+    want = sage_aggregate(x, batch.senders, batch.receivers,
+                          batch.n_node_cap, aggr=aggr)
+    mask = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[mask], np.asarray(want)[mask], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_supernode_star_detected():
+    batch, _ = _packed(supernode=True)
+    assert batch.has_supernode_edges
+    # star edges must be excluded from band+spill
+    n_star = int(
+        np.sum(np.asarray(batch.n_real_node)[:-1] - 1) * 2
+    )
+    n_all = int(np.sum(np.asarray(batch.edge_mask)))
+    n_band = int(np.sum(np.asarray(batch.band_receivers) != batch.dead_node_index))
+    n_spill = int(np.sum(np.asarray(batch.spill_receivers) != batch.dead_node_index))
+    assert n_band + n_spill == n_all - n_star
+
+
+def test_band_covers_most_mesh_edges():
+    batch, _ = _packed(supernode=False)
+    n_band = int(np.sum(np.asarray(batch.band_receivers) != batch.dead_node_index))
+    n_spill = int(np.sum(np.asarray(batch.spill_receivers) != batch.dead_node_index))
+    # virtual edges are ~13% plus rare out-of-band mesh edges
+    assert n_band / (n_band + n_spill) > 0.75
+
+
+def test_model_banded_impl_matches_xla(rng):
+    batch, ds = _packed(supernode=True)
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=32, num_layers=4,
+        pooling_layer="supernode_with_pooling",
+    )
+    m_ref = BuckGNN(impl="xla", **kwargs)
+    m_band = BuckGNN(impl="banded", **kwargs)
+    variables = m_ref.init(jax.random.key(0), batch, deterministic=True)
+    p_ref, _ = m_ref.apply(variables, batch, deterministic=True)
+    p_band, _ = m_band.apply(variables, batch, deterministic=True)
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(
+        np.asarray(p_ref)[gm], np.asarray(p_band)[gm], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_model_without_band_data_falls_back(rng):
+    # impl='banded' but batch packed without band data -> gather path
+    ds = generate_dataset(2, seed=3, min_side=4, max_side=5)
+    from buckgnn_tpu.graph.batch import capacity_for
+
+    ncap, ecap, gcap = capacity_for(ds)
+    batch = pack_graphs(ds, ncap, ecap, gcap)
+    model = BuckGNN(num_node_features=15, num_edge_features=5,
+                    hidden_channels=16, num_layers=2, impl="banded")
+    v = model.init(jax.random.key(0), batch, deterministic=True)
+    pred, _ = model.apply(v, batch, deterministic=True)
+    assert np.isfinite(np.asarray(pred)).all()

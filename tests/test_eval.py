@@ -1,0 +1,96 @@
+"""Inference + latency timer + hyperparameter sweep."""
+
+import os
+
+import numpy as np
+import pytest
+
+from buckgnn_tpu.config import TrainConfig
+from buckgnn_tpu.eval.inference import run_inference
+from buckgnn_tpu.eval.timer import run_time_analysis, time_nastran
+from buckgnn_tpu.graph.normalizer import normalize_dataset
+from buckgnn_tpu.graph.synthetic import generate_dataset
+from buckgnn_tpu.train.trainer import train_gnn
+from buckgnn_tpu.train.tune import (
+    ASHAStopper,
+    GridSearch,
+    expand_grid,
+    hyperparameter_optimization,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    ds = generate_dataset(20, seed=0, min_side=3, max_side=4)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=16, num_layers=2, num_epochs=3,
+                      batch_size=4, lr=1e-3, t_0=10)
+    res = train_gnn(cfg, normed[:16], normed[16:], nz, str(out),
+                    verbose=False)
+    return res, normed, nz, str(out)
+
+
+def test_run_inference_buckling(trained, tmp_path):
+    res, normed, nz, out = trained
+    last = os.path.join(res.log_dir, "weights", "last")
+    report = str(tmp_path / "report.csv")
+    results = run_inference(
+        last, normed[16:], str(tmp_path / "inf"), batch_size=4,
+        report_path=report, data_dir="synthetic",
+    )
+    assert "MAPE" in results and np.isfinite(results["MAPE"])
+    assert results["MIN MAPE"] <= results["MAPE"] <= results["MAX MAPE"]
+    assert os.path.exists(tmp_path / "inf" / "inference_results.txt")
+    with open(report) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 2  # header + one row
+    assert "model_name" in lines[0]
+
+
+def test_timer_gnn_only(trained, tmp_path):
+    res, normed, nz, out = trained
+    last = os.path.join(res.log_dir, "weights", "last")
+    rep = run_time_analysis(
+        last, normed[0], str(tmp_path / "timer.txt"), batch_size=4,
+    )
+    assert rep["gnn"]["samples_per_s"] > 0
+    assert rep["nastran"] is None or isinstance(rep["nastran"], dict)
+    text = open(tmp_path / "timer.txt").read()
+    assert "samples/s" in text
+
+
+def test_time_nastran_unavailable():
+    assert time_nastran(["/tmp/x.bdf"], nastran_cmd="definitely_not_nastran") is None
+
+
+def test_expand_grid():
+    cfg = {"lr": 1e-2, "loss_function": GridSearch(["a", "b"]),
+           "hidden_channels": GridSearch([16, 32])}
+    out = expand_grid(cfg)
+    assert len(out) == 4
+    assert {(c["loss_function"], c["hidden_channels"]) for c in out} == {
+        ("a", 16), ("a", 32), ("b", 16), ("b", 32)
+    }
+
+
+def test_asha_stopper_prunes():
+    s = ASHAStopper(grace_period=2, reduction_factor=2, max_t=16)
+    # first trial at rung 2 sets the bar
+    assert not s.should_stop(1, 1.0)
+    # a much worse second trial at the same rung is pruned
+    assert s.should_stop(1, 100.0)
+
+
+def test_hyperparameter_optimization(tmp_path):
+    ds = generate_dataset(12, seed=1, min_side=3, max_side=4)
+    normed, nz = normalize_dataset(ds)
+    base = dict(hidden_channels=GridSearch([8, 16]), num_layers=2,
+                num_epochs=2, batch_size=4, lr=1e-3, t_0=10,
+                loss_function="relative_error")
+    best, results = hyperparameter_optimization(
+        base, normed[:8], normed[8:], nz, str(tmp_path),
+        grace_period=1, reduction_factor=2,
+    )
+    assert len(results) == 2
+    assert best["hidden_channels"] in (8, 16)
