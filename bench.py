@@ -23,7 +23,7 @@ V100_TRAIN_EDGES_PER_S_EST = 5.0e6
 
 def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                       min_side=24, max_side=32, n_graphs=None,
-                      impl="banded", compute_dtype="float32",
+                      impl="banded_pallas", compute_dtype="bfloat16",
                       band_width=128, band_tile=256, use_super_node=False):
     import jax
 
@@ -45,7 +45,7 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                       batch_size=batch_size, segment_impl=impl,
                       compute_dtype=compute_dtype)
     ncap, ecap = suggest_capacities(normed, batch_size, slack=1.12)
-    bw = band_width if impl == "banded" else None
+    bw = band_width if impl.startswith("banded") else None
     if bw is not None:
         ncap = ((max(ncap, band_tile + bw) + band_tile - 1)
                 // band_tile) * band_tile

@@ -337,13 +337,23 @@ def batch_iterator(
     drop_remainder: bool = False,
     band_width: int | None = None,
     band_tile: int = 256,
+    rcm: bool = False,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
     Every batch uses the SAME (N_cap, E_cap, G_cap=batch_size+1) so the
     training step compiles exactly once. Graphs that would overflow a batch's
     capacity spill to the next batch.
+
+    ``rcm=True`` relabels each graph's nodes with a reverse Cuthill-McKee
+    permutation before packing (C++ kernel when available) — required for
+    good in-band fractions on arbitrary-order real meshes when band_width
+    is set.
     """
+    if rcm:
+        from buckgnn_tpu.graph.build import rcm_reorder
+
+        dataset = [rcm_reorder(g) for g in dataset]
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
@@ -371,7 +381,8 @@ def batch_iterator(
         cur_nodes += g.n_node
         cur_edges += g.n_edge
     if cur and not drop_remainder:
-        yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1)
+        yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
+                          band_width=band_width, band_tile=band_tile)
 
 
 def suggest_capacities(

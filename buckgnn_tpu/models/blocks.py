@@ -73,14 +73,14 @@ class SAGEConv(nn.Module):
         agg_ctx=None,
     ) -> jnp.ndarray:
         num_nodes = x.shape[0]
-        if agg_ctx is not None and self.impl == "banded":
+        if agg_ctx is not None and self.impl in ("banded", "banded_pallas"):
             from buckgnn_tpu.ops.banded import banded_sage_aggregate
 
             agg = banded_sage_aggregate(x, agg_ctx, aggr=self.aggr)
         else:
             agg = sage_aggregate(
                 x, senders, receivers, num_nodes, aggr=self.aggr,
-                impl=self.impl if self.impl != "banded" else "xla",
+                impl="xla" if self.impl.startswith("banded") else self.impl,
             )
         out = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(
             agg

@@ -124,10 +124,16 @@ class BuckGNN(nn.Module):
         # Banded aggregation context: built once per forward, shared by all
         # SAGE layers (ops/banded.py).
         agg_ctx = None
-        if self.impl == "banded" and batch.band_senders is not None:
+        if (
+            self.impl in ("banded", "banded_pallas")
+            and batch.band_senders is not None
+        ):
             from buckgnn_tpu.ops.banded import make_agg_context
 
-            agg_ctx = make_agg_context(batch, band_dtype=self.dtype)
+            agg_ctx = make_agg_context(
+                batch, band_dtype=self.dtype,
+                use_pallas=self.impl == "banded_pallas",
+            )
 
         # ---------------- processors ---------------- #
         if name == "GraphSage_addAggr_Shared":

@@ -25,9 +25,13 @@ batches stay small on host and in transfers.
 from __future__ import annotations
 
 import dataclasses
+import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
 
 from buckgnn_tpu.graph.batch import GraphBatch
 from buckgnn_tpu.ops import segment
@@ -39,10 +43,10 @@ class AggContext:
 
     batch: GraphBatch
     band: jnp.ndarray | None            # [n_tiles, T, S]
-    slab_index: jnp.ndarray | None      # [n_tiles, S] source row ids
     degree: jnp.ndarray | None          # [N] in-degree (for mean)
     super_gather_mask: jnp.ndarray | None  # [N] 1.0 where node receives super
     band_dtype: jnp.dtype | None = None
+    use_pallas: bool = False
 
 
 def build_band_matrix(batch: GraphBatch, dtype=jnp.float32):
@@ -63,19 +67,13 @@ def build_band_matrix(batch: GraphBatch, dtype=jnp.float32):
     return band.reshape(n_tiles, tile, slab)
 
 
-def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32) -> AggContext:
+def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32,
+                     use_pallas: bool = False) -> AggContext:
     if batch.band_senders is None:
-        return AggContext(batch=batch, band=None, slab_index=None,
+        return AggContext(batch=batch, band=None,
                           degree=None, super_gather_mask=None)
     n = batch.n_node_cap
-    tile = batch.band_tile
-    width = batch.band_width
-    slab = tile + width
-    n_tiles = n // tile
     band = build_band_matrix(batch, dtype=band_dtype)
-    t = jnp.arange(n_tiles)
-    starts = jnp.clip(t * tile - width // 2, 0, max(n - slab, 0))
-    slab_index = starts[:, None] + jnp.arange(slab)[None, :]
     # true in-degree over ALL original edges (band+spill+super+pad self-loops
     # on the dead row) — used by mean aggregation
     degree = segment.segment_count(
@@ -91,14 +89,113 @@ def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32) -> AggContext:
         super_gather_mask = mask.astype(jnp.float32)
     else:
         super_gather_mask = None
-    return AggContext(batch=batch, band=band, slab_index=slab_index,
+    return AggContext(batch=batch, band=band,
                       degree=degree, super_gather_mask=super_gather_mask,
-                      band_dtype=band_dtype)
+                      band_dtype=band_dtype, use_pallas=use_pallas)
+
+
+class _Static(NamedTuple):
+    tile: int
+    width: int
+    n_graph_cap: int
+    has_super: bool
+    use_pallas: bool
+    interpret: bool
+    x_dtype: str
+
+
+def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
+                  node_mask_f, supernode_index, super_mask_f):
+    """Sum-aggregation over band + spill + supernode stars."""
+    n, h = x.shape
+    tile, width = static.tile, static.width
+    if static.use_pallas:
+        from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
+
+        agg = pallas_banded_matmul(band, x, tile, width,
+                                   interpret=static.interpret)
+    else:
+        slab = tile + width
+        n_tiles = n // tile
+        starts = jnp.clip(
+            jnp.arange(n_tiles) * tile - width // 2, 0, max(n - slab, 0)
+        )
+        slab_index = starts[:, None] + jnp.arange(slab)[None, :]
+        xs = x[slab_index]
+        agg = jax.lax.dot_general(
+            band, xs.astype(band.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(n, h)
+
+    agg = agg + segment.segment_sum(
+        x[spill_s], spill_r, n, indices_are_sorted=True
+    )
+
+    if static.has_super:
+        sn = supernode_index  # [G]
+        agg = agg + x[sn][node_graph] * super_mask_f[:, None]
+        graph_sum = segment.segment_sum(
+            x * node_mask_f[:, None], node_graph, static.n_graph_cap
+        )
+        has_super = (sn < n - 1).astype(x.dtype)
+        contrib = (graph_sum - x[sn]) * has_super[:, None]
+        agg = agg.at[sn].add(contrib)
+    return agg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sym_sum(static, x, band, spill_s, spill_r, node_graph, node_mask_f,
+             supernode_index, super_mask_f):
+    """Sum-aggregation with a symmetry-based VJP.
+
+    Every edge source in this framework materializes both directions
+    (GraphCreate.py:417-422 parity), the supernode star is symmetric and
+    dead-node padding self-loops are trivially symmetric — so the total
+    adjacency A is symmetric and d/dx (A x)^T g = A g: the backward pass is
+    the SAME kernel applied to the cotangent. This sidesteps a transposed
+    Pallas kernel entirely.
+    """
+    return _sym_sum_impl(static, x, band, spill_s, spill_r, node_graph,
+                         node_mask_f, supernode_index, super_mask_f)
+
+
+def _sym_sum_fwd(static, x, band, spill_s, spill_r, node_graph, node_mask_f,
+                 supernode_index, super_mask_f):
+    out = _sym_sum_impl(static, x, band, spill_s, spill_r, node_graph,
+                        node_mask_f, supernode_index, super_mask_f)
+    return out, (band, spill_s, spill_r, node_graph, node_mask_f,
+                 supernode_index, super_mask_f)
+
+
+def _zero_tangent(v):
+    if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == jnp.bool_:
+        return np.zeros(v.shape, dtypes.float0)
+    return jnp.zeros_like(v)
+
+
+def _sym_sum_bwd(static, res, g):
+    band, spill_s, spill_r, node_graph, node_mask_f, sn, super_mask_f = res
+    dx = _sym_sum_impl(static, g.astype(static.x_dtype), band, spill_s,
+                       spill_r, node_graph, node_mask_f.astype(static.x_dtype),
+                       sn, super_mask_f.astype(static.x_dtype))
+    dx = dx.astype(static.x_dtype)
+    return (dx, jnp.zeros_like(band), _zero_tangent(spill_s),
+            _zero_tangent(spill_r), _zero_tangent(node_graph),
+            jnp.zeros_like(node_mask_f), _zero_tangent(sn),
+            jnp.zeros_like(super_mask_f))
+
+
+_sym_sum.defvjp(_sym_sum_fwd, _sym_sum_bwd)
 
 
 def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
                           aggr: str = "add") -> jnp.ndarray:
-    """Neighbor aggregation equal to `sage_aggregate` over the full edge set."""
+    """Neighbor aggregation equal to `sage_aggregate` over the full edge set.
+
+    Requires a symmetric edge set (both directions materialized) — the
+    invariant of every graph source in this framework.
+    """
     batch = ctx.batch
     if ctx.band is None or aggr == "max":
         # no banded data (or unsupported aggr): plain gather path
@@ -106,40 +203,24 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
 
         return sage_aggregate(x, batch.senders, batch.receivers,
                               batch.n_node_cap, aggr=aggr)
-    n = batch.n_node_cap
-    h = x.shape[1]
-    tile = batch.band_tile
-
-    # banded part: slab gather (near-contiguous) + batched MXU matmul
-    xs = x[ctx.slab_index]  # [n_tiles, S, H]
-    band = ctx.band.astype(ctx.band_dtype)
-    agg = jax.lax.dot_general(
-        band, xs.astype(ctx.band_dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(n, h)
-
-    # spill part
-    if batch.spill_senders is not None:
-        agg = agg + segment.segment_sum(
-            x[batch.spill_senders], batch.spill_receivers, n,
-            indices_are_sorted=True,
-        )
-
-    # supernode stars
-    if ctx.super_gather_mask is not None:
-        sn = batch.supernode_index  # [G]
-        # broadcast supernode features to its graph's real nodes
-        agg = agg + x[sn][batch.node_graph] * ctx.super_gather_mask[:, None]
-        # supernode receives the sum of its graph's real nodes (minus itself)
-        graph_sum = segment.segment_sum(
-            x * batch.node_mask.astype(x.dtype)[:, None],
-            batch.node_graph, batch.n_graph_cap,
-        )
-        has_super = sn < batch.dead_node_index
-        contrib = (graph_sum - x[sn]) * has_super[:, None].astype(x.dtype)
-        agg = agg.at[sn].add(contrib)
-
+    static = _Static(
+        tile=batch.band_tile,
+        width=batch.band_width,
+        n_graph_cap=batch.n_graph_cap,
+        has_super=batch.has_supernode_edges,
+        use_pallas=ctx.use_pallas,
+        interpret=jax.default_backend() == "cpu",
+        x_dtype=str(x.dtype),
+    )
+    node_mask_f = batch.node_mask.astype(x.dtype)
+    super_mask_f = (
+        ctx.super_gather_mask
+        if ctx.super_gather_mask is not None
+        else jnp.zeros((batch.n_node_cap,), x.dtype)
+    )
+    agg = _sym_sum(static, x, ctx.band, batch.spill_senders,
+                   batch.spill_receivers, batch.node_graph, node_mask_f,
+                   batch.supernode_index, super_mask_f)
     if aggr in ("add", "sum"):
         return agg
     if aggr == "mean":
