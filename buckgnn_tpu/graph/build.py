@@ -33,13 +33,21 @@ from buckgnn_tpu.graph.transform import (
     transform_to_simulation_coordinates,
 )
 
-__all__ = ["find_boundary_nodes", "build_graph", "shell_edges"]
+__all__ = ["find_boundary_nodes", "build_graph", "shell_edges",
+           "rcm_reorder"]
 
 
 def shell_edges(mesh: MeshModel) -> tuple[np.ndarray, np.ndarray]:
     """All element-perimeter edges (undirected, as sorted index pairs) with
     occurrence counts. Quad perimeters + tria perimeters
-    (find_boundary_nodes, GraphCreate.py:124-133)."""
+    (find_boundary_nodes, GraphCreate.py:124-133). Uses the C++ kernel
+    (cpp/native.cpp::bg_shell_edges) when available."""
+    from buckgnn_tpu.utils import native
+
+    if len(mesh.quads) or len(mesh.trias):
+        res = native.shell_edges_native(mesh.quads, mesh.trias)
+        if res is not None:
+            return res
     pairs = []
     for conn in (mesh.quads, mesh.trias):
         if len(conn) == 0:
@@ -321,4 +329,48 @@ def build_graph(
         supernode=supernode,
         eigenvalue=float(eigenvalue) if eigenvalue is not None else None,
         mode_shapes=mode_shapes,
+    )
+
+
+def rcm_reorder(g: GraphData) -> GraphData:
+    """Relabel nodes with a reverse Cuthill-McKee permutation so edges
+    concentrate near the diagonal — the locality the block-banded SAGE path
+    (ops/banded.py) exploits. Synthetic grid meshes are naturally banded;
+    real BDF meshes arrive in arbitrary node order and need this.
+
+    The supernode (always the last node, batch.py convention) stays last;
+    its star edges are excluded from the RCM graph so they do not wreck the
+    ordering (they are handled densely by the banded aggregator anyway).
+    """
+    from buckgnn_tpu.utils import native
+
+    n = g.n_node
+    s = np.asarray(g.senders, dtype=np.int64)
+    r = np.asarray(g.receivers, dtype=np.int64)
+    if g.supernode >= 0:
+        keep = (s != g.supernode) & (r != g.supernode)
+        perm_core = native.rcm_order(n - 1, s[keep], r[keep])
+        perm = np.concatenate([perm_core, [n - 1]])
+    else:
+        perm = native.rcm_order(n, s, r)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    y = g.y
+    if y.ndim == 2 and y.shape[0] == n:  # node-level target
+        y = y[perm]
+    ms = g.mode_shapes
+    if ms is not None:
+        # mode_shapes covers only real nodes (supernode appended after,
+        # GraphCreate.py:551-552) — permute with the core permutation.
+        ms = ms[perm] if ms.shape[0] == n else ms[perm[: ms.shape[0]]]
+    return GraphData(
+        x=g.x[perm],
+        senders=inv[s].astype(np.int32),
+        receivers=inv[r].astype(np.int32),
+        edge_attr=g.edge_attr,
+        y=y,
+        supernode=g.supernode,
+        eigenvalue=g.eigenvalue,
+        mode_shapes=ms,
+        file_path=g.file_path,
     )
