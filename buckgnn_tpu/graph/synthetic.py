@@ -140,7 +140,12 @@ def fake_fea(mesh: MeshModel, seed: int = 0) -> FEAResults:
     centroid = coords.mean(axis=0)
 
     force_nodes = sorted(mesh.forces)
-    total_force = np.sum([mesh.forces[i][:2] for i in force_nodes], axis=0)
+    if force_nodes:
+        total_force = np.sum(
+            [mesh.forces[i][:2] for i in force_nodes], axis=0
+        )
+    else:
+        total_force = np.zeros(2)
     fmag = float(np.linalg.norm(total_force)) + 1e-6
     fdir = total_force / fmag
 
