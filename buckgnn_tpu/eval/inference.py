@@ -96,7 +96,7 @@ def run_inference(
 
     optimizer = make_optimizer(train_cfg)
     ncap, ecap = suggest_capacities(test_data, batch_size)
-    if train_cfg.segment_impl == "banded":
+    if train_cfg.segment_impl.startswith("banded"):
         tile = 256
         ncap = ((max(ncap, tile + 128) + tile - 1) // tile) * tile
         band_kw = dict(band_width=128, band_tile=tile)

@@ -110,7 +110,7 @@ def run_time_analysis(
     optimizer = make_optimizer(train_cfg)
     band_kw = (
         dict(band_width=128, band_tile=256)
-        if train_cfg.segment_impl == "banded"
+        if train_cfg.segment_impl.startswith("banded")
         else {}
     )
     graphs = [sample]

@@ -208,7 +208,8 @@ def write_bdf(mesh: MeshModel, path: str, eigrl_nd: int = 1) -> None:
         for i, conn in enumerate(mesh.trias):
             ids = ",".join(str(int(mesh.node_ids[c])) for c in conn)
             w(f"CTRIA3,{900000 + i},1,{ids}\n")
-        for eid, pid, conn in zip(mesh.cbar_ids, mesh.cbar_pids, mesh.cbars):
+        cbar_ids = mesh.cbar_ids if mesh.cbar_ids is not None else ()
+        for eid, pid, conn in zip(cbar_ids, mesh.cbar_pids, mesh.cbars):
             n1, n2 = (int(mesh.node_ids[c]) for c in conn)
             w(f"CBAR,{int(eid)},{int(pid)},{n1},{n2},0.,0.,1.\n")
         for idx, comp in mesh.spc_components.items():
