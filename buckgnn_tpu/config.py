@@ -59,8 +59,9 @@ class TrainConfig:
     seed: int = 0
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
-    segment_impl: str = "xla"               # 'xla' | 'pallas'
+    segment_impl: str = "xla"               # 'xla'|'sorted'|'banded'|'banded_pallas'
     repack_every_epoch: bool = False        # re-shuffle batch composition
+    profile_epochs: int = 0                 # XLA-trace the first N epochs
 
     @property
     def eta_min(self) -> float:

@@ -35,7 +35,9 @@ from buckgnn_tpu.train import checkpoint as ckpt
 from buckgnn_tpu.train.losses import GRAPH_FAMILY, get_loss_function
 from buckgnn_tpu.train.metrics import MAPE_error, stress_errors
 from buckgnn_tpu.train.schedule import lr_for_epoch
+from buckgnn_tpu.utils import profiling
 from buckgnn_tpu.utils.logging import MetricsWriter, ResultsFile
+from buckgnn_tpu.utils.profiling import StepTimer
 
 
 @struct.dataclass
@@ -268,6 +270,15 @@ def train_gnn(
     best_fitness = 1e10
     history = []
 
+    epoch_edges = sum(
+        int(np.sum(np.asarray(b.edge_mask))) for b in train_batches
+    )
+    timer = StepTimer()
+    profiler_cm = None
+    if cfg.profile_epochs > 0:
+        profiler_cm = profiling.trace(os.path.join(log_dir, "profile"))
+        profiler_cm.__enter__()
+
     for epoch in range(start_epoch, cfg.num_epochs):
         lr = lr_for_epoch(cfg, epoch)
         if cfg.repack_every_epoch and epoch > start_epoch:
@@ -278,6 +289,7 @@ def train_gnn(
         # Metrics stay on device across the epoch (one host fetch per epoch);
         # the reference syncs per batch via .item() (TRAIN_FINAL.py:298).
         acc = None
+        timer.start()
         for bi in order:
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, train_batches[bi],
@@ -286,6 +298,11 @@ def train_gnn(
                 jnp.add, acc, metrics
             )
         acc = jax.device_get(acc)
+        timer.stop(len(train_batches), epoch_edges)
+        if profiler_cm is not None and epoch - start_epoch + 1 >= \
+                cfg.profile_epochs:
+            profiler_cm.__exit__(None, None, None)
+            profiler_cm = None
         train_loss = float(acc["loss"]) / len(train_batches)
         train_mape = float(acc.get("mape", 0.0)) / len(train_batches)
 
@@ -302,6 +319,9 @@ def train_gnn(
         writer.add_scalar("Learning_Rate", lr, epoch)
         writer.add_scalar("Loss/train", train_loss, epoch)
         writer.add_scalar("Loss/validation", val_loss, epoch)
+        writer.add_scalar("Perf/train_step_ms", timer.step_ms, epoch)
+        writer.add_scalar("Perf/train_edges_per_s", timer.edges_per_s, epoch)
+        timer.reset()
         if cfg.prediction_type == "buckling":
             writer.add_scalar("MAPE/train", train_mape, epoch)
             writer.add_scalar("MAPE/val", val_mape, epoch)
@@ -332,6 +352,8 @@ def train_gnn(
             if report_fn(history[-1]) is False:
                 break
 
+    if profiler_cm is not None:  # fewer epochs ran than profile_epochs
+        profiler_cm.__exit__(None, None, None)
     writer.close()
     return TrainResult(state=state, best_val_mape=best_fitness,
                        history=history, log_dir=log_dir)
