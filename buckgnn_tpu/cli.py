@@ -269,6 +269,16 @@ def cmd_flatten(args) -> int:
     return 0
 
 
+def cmd_scale(args) -> int:
+    from buckgnn_tpu.parallel.scaling import scaling_bench
+
+    out = scaling_bench(n_devices=args.n_devices,
+                        graphs_per_device=args.graphs_per_device,
+                        n_steps=args.n_steps)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
 
@@ -357,6 +367,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="repo benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)
+
+    sc = sub.add_parser("scale", help="DP scaling-efficiency harness")
+    sc.add_argument("--n-devices", type=int, default=None)
+    sc.add_argument("--graphs-per-device", type=int, default=8)
+    sc.add_argument("--n-steps", type=int, default=10)
+    sc.set_defaults(fn=cmd_scale)
     return p
 
 

@@ -62,6 +62,7 @@ class TrainConfig:
     segment_impl: str = "xla"               # 'xla'|'sorted'|'banded'|'banded_pallas'
     repack_every_epoch: bool = False        # re-shuffle batch composition
     profile_epochs: int = 0                 # XLA-trace the first N epochs
+    remat: bool = False                     # checkpoint conv layers (memory)
 
     @property
     def eta_min(self) -> float:

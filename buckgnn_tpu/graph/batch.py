@@ -96,6 +96,10 @@ class GraphBatch:
     band_receivers: jnp.ndarray | None = None   # [Eb]
     spill_senders: jnp.ndarray | None = None    # [Es] out-of-band edges
     spill_receivers: jnp.ndarray | None = None  # [Es] (receiver-sorted)
+    # [n_tiles, T, S] uint8 adjacency counts, materialized at pack time on
+    # host so the hot path never scatter-builds it (cast to the compute
+    # dtype once per step in ops/banded.py::make_agg_context)
+    band: jnp.ndarray | None = None
     # static metadata (not traced)
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
@@ -190,8 +194,11 @@ def _band_split(
     inband = cand & (k >= 0) & (k < slab)
     spill = cand & ~inband
 
-    def pad_sorted(s, r):
-        order = np.argsort(r, kind="stable")
+    def pad_sorted(s, r, k=None):
+        # sort by r (and slab offset k when given, so the device-side band
+        # scatter sees fully sorted flat indices — ops/banded.py)
+        order = (np.argsort(r, kind="stable") if k is None
+                 else np.lexsort((k, r)))
         s, r = s[order], r[order]
         n = len(s)
         m = max(_round_up(n, 128), 128)
@@ -200,9 +207,26 @@ def _band_split(
         ps[:n], pr[:n] = s, r
         return ps, pr
 
-    band_s, band_r = pad_sorted(senders[inband], receivers[inband])
+    band_s, band_r = pad_sorted(senders[inband], receivers[inband],
+                                k[inband])
     spill_s, spill_r = pad_sorted(senders[spill], receivers[spill])
     return band_s, band_r, spill_s, spill_r, has_super_edges
+
+
+def _host_band_matrix(band_s: np.ndarray, band_r: np.ndarray,
+                      n_node_cap: int, tile: int, width: int) -> np.ndarray:
+    """[n_tiles, T, S] uint8 adjacency counts, built once per batch on host
+    (ops/banded.py::build_band_matrix is the device-side equivalent, kept
+    for batches packed without materialization). Pad self-loops on the dead
+    node are included — harmless, the dead row is never read back."""
+    slab = tile + width
+    n_tiles = n_node_cap // tile
+    t = band_r // tile
+    start = np.clip(t * tile - width // 2, 0, max(n_node_cap - slab, 0))
+    k = band_s - start
+    band = np.zeros(n_node_cap * slab, dtype=np.uint8)
+    np.add.at(band, band_r.astype(np.int64) * slab + k, 1)
+    return band.reshape(n_tiles, tile, slab)
 
 
 def pack_graphs(
@@ -305,6 +329,9 @@ def pack_graphs(
             band_receivers=jnp.asarray(br),
             spill_senders=jnp.asarray(ss),
             spill_receivers=jnp.asarray(sr),
+            band=jnp.asarray(
+                _host_band_matrix(bs, br, n_node_cap, band_tile, band_width)
+            ),
             band_tile=band_tile,
             band_width=band_width,
             has_supernode_edges=has_super,

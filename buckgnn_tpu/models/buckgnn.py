@@ -86,6 +86,11 @@ class BuckGNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"  # segment-reduction backend: 'xla' | 'pallas'
     sag_ratio: float = 0.5
+    # rematerialize each conv layer in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(L) -> O(1) activation memory, lifting
+    # the batch-size ceiling (the reference was memory-bound at batch 16
+    # on 16 GB, README.md:59-62)
+    remat: bool = False
 
     # ------------------------------------------------------------------ #
 
@@ -116,6 +121,8 @@ class BuckGNN(nn.Module):
         def dropout(v):
             return nn.Dropout(rate=self.dropout_rate)(v, deterministic=deterministic)
 
+        Conv = nn.remat(SAGEConv) if self.remat else SAGEConv
+
         # Encode (BuckGNN.py:323)
         x = MLP(encoder_widths(h), dtype=self.dtype, name="node_encoder")(x_in)
         edge_attr = batch.edges
@@ -133,11 +140,13 @@ class BuckGNN(nn.Module):
             agg_ctx = make_agg_context(
                 batch, band_dtype=self.dtype,
                 use_pallas=self.impl == "banded_pallas",
+                # only the mean-aggregation variants divide by in-degree
+                need_degree="mean" in name.lower(),
             )
 
         # ---------------- processors ---------------- #
         if name == "GraphSage_addAggr_Shared":
-            conv = SAGEConv(
+            conv = Conv(
                 h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                 name="shared_graphsage_block",
             )
@@ -168,7 +177,7 @@ class BuckGNN(nn.Module):
             use_bn = "woBatchNorm" not in name
             for i in range(L):
                 x_prev = x
-                x = SAGEConv(
+                x = Conv(
                     h, aggr=aggr, normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage_{i}",
                 )(x, senders, receivers, agg_ctx)
@@ -187,7 +196,7 @@ class BuckGNN(nn.Module):
             # reference reuses one BN instance twice per layer).
             for i in range(L):
                 x_prev = x
-                x = SAGEConv(
+                x = Conv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage_{i}",
                 )(x, senders, receivers, agg_ctx)
@@ -229,7 +238,7 @@ class BuckGNN(nn.Module):
             n_after = L - n_before
             for i in range(n_before):
                 identity = x
-                x = SAGEConv(
+                x = Conv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage1_{i}",
                 )(x, senders, receivers, agg_ctx)
@@ -243,7 +252,7 @@ class BuckGNN(nn.Module):
             x, node_keep = self._sag_pool(x, batch, deterministic, agg_ctx)
             for i in range(n_after):
                 identity = x
-                x = SAGEConv(
+                x = Conv(
                     h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                     name=f"sage2_{i}",
                 )(x, senders, receivers, agg_ctx)

@@ -63,22 +63,35 @@ def build_band_matrix(batch: GraphBatch, dtype=jnp.float32):
     k = s - start
     flat = r * slab + k
     ones = jnp.ones_like(r, dtype=dtype)
-    band = jax.ops.segment_sum(ones, flat, n * slab)
+    # band edges are (r, k)-lexsorted on host (batch.py::_band_split), so
+    # flat is fully sorted — the scatter compiles to a cheap sorted
+    # segment reduction instead of a random scatter.
+    band = jax.ops.segment_sum(ones, flat, n * slab,
+                               indices_are_sorted=True)
     return band.reshape(n_tiles, tile, slab)
 
 
 def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32,
-                     use_pallas: bool = False) -> AggContext:
+                     use_pallas: bool = False,
+                     need_degree: bool = False) -> AggContext:
+    """``need_degree`` avoids a per-step edge-count scatter for the add/sum
+    aggregations (the flagship path); mean aggregation requires it."""
     if batch.band_senders is None:
         return AggContext(batch=batch, band=None,
                           degree=None, super_gather_mask=None)
     n = batch.n_node_cap
-    band = build_band_matrix(batch, dtype=band_dtype)
-    # true in-degree over ALL original edges (band+spill+super+pad self-loops
-    # on the dead row) — used by mean aggregation
-    degree = segment.segment_count(
-        batch.receivers, n, indices_are_sorted=True, mask=batch.edge_mask
-    )
+    if batch.band is not None:
+        # pack-time-materialized uint8 counts: one cheap cast per step
+        band = batch.band.astype(band_dtype)
+    else:
+        band = build_band_matrix(batch, dtype=band_dtype)
+    degree = None
+    if need_degree:
+        # true in-degree over ALL original edges (band+spill+super+pad
+        # self-loops on the dead row) — used by mean aggregation
+        degree = segment.segment_count(
+            batch.receivers, n, indices_are_sorted=True, mask=batch.edge_mask
+        )
     if batch.has_supernode_edges:
         # nodes that receive the supernode broadcast: real nodes of graphs
         # with a supernode, except the supernode itself
@@ -106,14 +119,20 @@ class _Static(NamedTuple):
 
 def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
                   node_mask_f, supernode_index, super_mask_f):
-    """Sum-aggregation over band + spill + supernode stars."""
+    """Sum-aggregation over band + spill + supernode stars.
+
+    The band matmul accumulates in f32 on the MXU but emits ``x.dtype``
+    (the consumer is a Dense layer that casts to the compute dtype anyway);
+    spill edges scatter-add straight into that output — no intermediate
+    zeros array."""
     n, h = x.shape
     tile, width = static.tile, static.width
     if static.use_pallas:
         from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
         agg = pallas_banded_matmul(band, x, tile, width,
-                                   interpret=static.interpret)
+                                   interpret=static.interpret,
+                                   out_dtype=x.dtype)
     else:
         slab = tile + width
         n_tiles = n // tile
@@ -126,11 +145,10 @@ def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
             band, xs.astype(band.dtype),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(n, h)
+        ).reshape(n, h).astype(x.dtype)
 
-    agg = agg + segment.segment_sum(
-        x[spill_s], spill_r, n, indices_are_sorted=True
-    )
+    agg = agg.at[spill_r].add(x[spill_s], indices_are_sorted=True,
+                              unique_indices=False)
 
     if static.has_super:
         sn = supernode_index  # [G]
@@ -224,5 +242,11 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
     if aggr in ("add", "sum"):
         return agg
     if aggr == "mean":
-        return agg / jnp.maximum(ctx.degree, 1.0)[:, None]
+        degree = ctx.degree
+        if degree is None:  # context built with need_degree=False
+            degree = segment.segment_count(
+                batch.receivers, batch.n_node_cap,
+                indices_are_sorted=True, mask=batch.edge_mask,
+            )
+        return agg / jnp.maximum(degree, 1.0)[:, None]
     raise ValueError(f"Unsupported banded aggregation: {aggr}")

@@ -12,7 +12,12 @@ the HBM bandwidth floor — versus gather+scatter's 2 full edge-array sweeps.
 
 Grid: one program per node tile. `band` and `out` use the automatic
 pipeline; the slab DMA is issued inside the kernel (clamped start offsets
-are data-dependent on program_id, which BlockSpec index maps cannot express).
+are data-dependent on program_id, which BlockSpec index maps cannot
+express) and DOUBLE-BUFFERED: TPU grid iterations run sequentially on the
+core and scratch persists across them, so iteration t waits on the copy
+it prefetched at t-1 and immediately issues the prefetch for t+1 —
+overlapping the slab fetch of the next tile with the matmul of the
+current one.
 """
 
 from __future__ import annotations
@@ -25,28 +30,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(band_ref, x_hbm, out_ref, slab_ref, sem, *, tile, width, n_nodes,
-            out_dtype):
+def _slab_copy(x_hbm, slab_ref, sem, t, *, tile, width, n_nodes, slot):
     slab = tile + width
-    t = pl.program_id(0)
     start = jnp.clip(t * tile - width // 2, 0, max(n_nodes - slab, 0))
     # every branch of the clip is a multiple of the sublane tiling (tile,
     # width//2 and n_nodes are multiples of 8); Mosaic needs the hint
     start = pl.multiple_of(start, 8)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(start, slab), :], slab_ref, sem
+    return pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, slab), :], slab_ref.at[slot], sem.at[slot]
     )
-    dma.start()
-    dma.wait()
+
+
+def _kernel(band_ref, x_hbm, out_ref, slab_ref, sem, *, tile, width, n_nodes,
+            n_tiles, out_dtype):
+    t = pl.program_id(0)
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
+                             tile=tile, width=width, n_nodes=n_nodes)
+
+    @pl.when(t == 0)
+    def _():
+        copy(t, slot=cur).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        copy(t + 1, slot=nxt).start()
+
+    copy(t, slot=cur).wait()
     out_ref[:] = jnp.dot(
         band_ref[0],
-        slab_ref[:].astype(band_ref.dtype),
-        preferred_element_type=out_dtype,
-    )
+        slab_ref[cur].astype(band_ref.dtype),
+        preferred_element_type=jnp.float32,  # MXU f32 accumulation
+    ).astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "width", "interpret")
+    jax.jit, static_argnames=("tile", "width", "interpret", "out_dtype")
 )
 def pallas_banded_matmul(
     band: jnp.ndarray,   # [n_tiles, T, S] (bf16 or f32)
@@ -54,14 +74,17 @@ def pallas_banded_matmul(
     tile: int,
     width: int,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Band @ x with contiguous slab streaming. Returns [N, H] float32."""
+    """Band @ x with double-buffered contiguous slab streaming; f32 MXU
+    accumulation, ``out_dtype`` output."""
     n_tiles, t_, slab = band.shape
     n, h = x.shape
     assert t_ == tile and slab == tile + width and n == n_tiles * tile
 
     kernel = functools.partial(
-        _kernel, tile=tile, width=width, n_nodes=n, out_dtype=jnp.float32
+        _kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
+        out_dtype=out_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -76,10 +99,10 @@ def pallas_banded_matmul(
         out_specs=pl.BlockSpec(
             (tile, h), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, h), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((slab, h), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, slab, h), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(band, x)

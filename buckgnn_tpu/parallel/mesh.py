@@ -35,3 +35,45 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
         )
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Multi-host runtime bring-up (`jax.distributed.initialize`).
+
+    On TPU pods every argument is discovered from the environment; pass
+    them explicitly for CPU/GPU multi-process runs. Idempotent — safe to
+    call when already initialized or when running single-process (returns
+    the current topology either way). After this, `make_mesh()` sees every
+    chip in the slice and DP gradients psum over DCN+ICI.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    except ValueError:
+        pass  # nothing to discover: single-process run without coordinator
+    return dict(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_devices=len(jax.local_devices()),
+        global_devices=len(jax.devices()),
+    )
+
+
+def host_shard(items, process_index: int | None = None,
+               process_count: int | None = None) -> list:
+    """Per-host slice of a dataset/work list (round-robin) — the multi-host
+    input pipeline: each host's ETL builds only its own shard
+    (replacing the reference's single-host mp.Pool, GraphCreate.py:625-630).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [x for i, x in enumerate(items) if i % pc == pi]

@@ -63,6 +63,7 @@ def build_model(cfg: TrainConfig, num_node_features: int,
         model_name=cfg.model_name,
         dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         impl=cfg.segment_impl,
+        remat=cfg.remat,
     )
 
 

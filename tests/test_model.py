@@ -153,3 +153,32 @@ def test_supernode_pooling_excludes_super(rng):
     assert not mask[graphs[0].n_node - 1]
     assert not mask[graphs[0].n_node + graphs[1].n_node - 1]
     assert mask[: graphs[0].n_node - 1].all()
+
+
+def test_remat_matches_plain(rng):
+    """nn.remat changes memory, not math: identical outputs and grads."""
+    import jax
+    import jax.numpy as jnp
+    from buckgnn_tpu.graph.batch import pack_graphs
+    from tests.conftest import make_random_graph
+
+    graphs = [make_random_graph(rng, n_nodes=10 + i) for i in range(3)]
+    batch = pack_graphs(graphs, 64, 256, 4)
+    kwargs = dict(num_node_features=graphs[0].x.shape[1],
+                  num_edge_features=graphs[0].edge_attr.shape[1],
+                  hidden_channels=16, num_layers=3, dropout_rate=0.0)
+    m0 = BuckGNN(remat=False, **kwargs)
+    m1 = BuckGNN(remat=True, **kwargs)
+    v = m0.init(jax.random.key(0), batch, deterministic=True)
+
+    def loss(m, v):
+        pred, _ = m.apply(v, batch, deterministic=True)
+        return jnp.sum(pred * jnp.asarray(batch.graph_mask, pred.dtype))
+
+    np.testing.assert_allclose(float(loss(m0, v)), float(loss(m1, v)),
+                               rtol=1e-6)
+    g0 = jax.grad(lambda v: loss(m0, v))(v)
+    g1 = jax.grad(lambda v: loss(m1, v))(v)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

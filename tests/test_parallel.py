@@ -143,3 +143,28 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_scaling_bench_harness():
+    """scaling_bench runs 1 vs N devices through the same DP step and
+    reports efficiency (numbers on virtual CPU devices are smoke-level)."""
+    from buckgnn_tpu.parallel.scaling import scaling_bench
+
+    out = scaling_bench(n_devices=4, graphs_per_device=2, min_side=3,
+                        max_side=4, n_steps=2)
+    assert out["n_devices"] == 4
+    assert out["per_count"][1]["edges_per_s"] > 0
+    assert out["per_count"][4]["edges_per_s"] > 0
+    assert 0 < out["scaling_efficiency"]
+
+
+def test_initialize_distributed_single_process():
+    from buckgnn_tpu.parallel.mesh import host_shard, initialize_distributed
+
+    topo = initialize_distributed()
+    assert topo["process_count"] >= 1
+    assert topo["global_devices"] >= topo["local_devices"]
+    # per-host ETL sharding partitions the work list exactly
+    items = list(range(13))
+    shards = [host_shard(items, i, 4) for i in range(4)]
+    assert sorted(sum(shards, [])) == items
