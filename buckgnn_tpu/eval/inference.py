@@ -99,7 +99,7 @@ def run_inference(
     if train_cfg.segment_impl.startswith("banded"):
         tile = 256
         ncap = ((max(ncap, tile + 128) + tile - 1) // tile) * tile
-        band_kw = dict(band_width=128, band_tile=tile)
+        band_kw = dict(band_width=128, band_tile=tile, rcm=True)
     else:
         band_kw = {}
     batches = list(

@@ -109,7 +109,7 @@ def run_time_analysis(
     model, train_cfg, config, normalizer = load_model_from_checkpoint(model_path)
     optimizer = make_optimizer(train_cfg)
     band_kw = (
-        dict(band_width=128, band_tile=256)
+        dict(band_width=128, band_tile=256, rcm=True)
         if train_cfg.segment_impl.startswith("banded")
         else {}
     )

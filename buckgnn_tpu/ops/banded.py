@@ -226,7 +226,10 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
         width=batch.band_width,
         n_graph_cap=batch.n_graph_cap,
         has_super=batch.has_supernode_edges,
-        use_pallas=ctx.use_pallas,
+        # Mosaic requires the feature dim aligned to the 128-lane tiling;
+        # narrow models (SAG score convs, tiny test nets) use the XLA slab
+        # matmul instead
+        use_pallas=ctx.use_pallas and x.shape[1] % 128 == 0,
         interpret=jax.default_backend() == "cpu",
         x_dtype=str(x.dtype),
     )

@@ -238,6 +238,15 @@ def train_gnn(
         n_node_cap = n_node_cap or n_cap
         n_edge_cap = n_edge_cap or e_cap
 
+    band_kw: dict = {}
+    if cfg.segment_impl.startswith("banded"):
+        # banded packing: tile-aligned node capacity, RCM node relabeling
+        # for in-band locality on arbitrary-order meshes (graph/build.py)
+        tile, width = 256, 128
+        n_node_cap = ((max(n_node_cap, tile + width) + tile - 1)
+                      // tile) * tile
+        band_kw = dict(band_width=width, band_tile=tile, rcm=True)
+
     model = build_model(cfg, num_node_features, num_edge_features)
     optimizer = make_optimizer(cfg)
 
@@ -254,7 +263,7 @@ def train_gnn(
     def pack(data, shuffle, seed):
         return list(
             batch_iterator(data, cfg.batch_size, n_node_cap, n_edge_cap,
-                           shuffle=shuffle, seed=seed)
+                           shuffle=shuffle, seed=seed, **band_kw)
         )
 
     train_batches = pack(train_data, True, cfg.seed)
