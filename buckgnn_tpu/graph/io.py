@@ -56,32 +56,37 @@ def save_dataset(dataset: Sequence[GraphData], path: str) -> None:
 
 def load_dataset_file(path: str) -> list[GraphData]:
     with np.load(path) as z:
-        node_off = z["node_off"]
-        edge_off = z["edge_off"]
-        y_off = z["y_off"]
-        node_level = bool(z["node_level"])
-        has_ms = "mode_shapes" in z
-        out = []
-        for i in range(len(node_off) - 1):
-            ns, ne = node_off[i], node_off[i + 1]
-            es, ee = edge_off[i], edge_off[i + 1]
-            y = z["y"][y_off[i] : y_off[i + 1]]
-            if not node_level:
-                y = y.reshape(-1)
-            ev = float(z["eigenvalue"][i])
-            out.append(
-                GraphData(
-                    x=z["x"][ns:ne],
-                    senders=z["senders"][es:ee],
-                    receivers=z["receivers"][es:ee],
-                    edge_attr=z["edge_attr"][es:ee],
-                    y=y,
-                    supernode=int(z["supernode"][i]),
-                    eigenvalue=None if np.isnan(ev) else ev,
-                    mode_shapes=(
-                        z["mode_shapes"][z["ms_off"][i] : z["ms_off"][i + 1]]
-                        if has_ms else None
-                    ),
-                )
+        # Materialize each archive member exactly once: NpzFile re-inflates
+        # the whole compressed array on EVERY __getitem__, so indexing
+        # inside the per-graph loop would decompress the archive O(graphs)
+        # times.
+        d = {k: z[k] for k in z.files}
+    node_off = d["node_off"]
+    edge_off = d["edge_off"]
+    y_off = d["y_off"]
+    node_level = bool(d["node_level"])
+    has_ms = "mode_shapes" in d
+    out = []
+    for i in range(len(node_off) - 1):
+        ns, ne = node_off[i], node_off[i + 1]
+        es, ee = edge_off[i], edge_off[i + 1]
+        y = d["y"][y_off[i] : y_off[i + 1]]
+        if not node_level:
+            y = y.reshape(-1)
+        ev = float(d["eigenvalue"][i])
+        out.append(
+            GraphData(
+                x=d["x"][ns:ne],
+                senders=d["senders"][es:ee],
+                receivers=d["receivers"][es:ee],
+                edge_attr=d["edge_attr"][es:ee],
+                y=y,
+                supernode=int(d["supernode"][i]),
+                eigenvalue=None if np.isnan(ev) else ev,
+                mode_shapes=(
+                    d["mode_shapes"][d["ms_off"][i] : d["ms_off"][i + 1]]
+                    if has_ms else None
+                ),
             )
+        )
     return out

@@ -168,3 +168,34 @@ def test_initialize_distributed_single_process():
     items = list(range(13))
     shards = [host_shard(items, i, 4) for i in range(4)]
     assert sorted(sum(shards, [])) == items
+
+
+def test_dp_with_banded_batches():
+    """Banded batches (band matrix + spill arrays) shard over the data axis
+    and train under the parallel step."""
+    from buckgnn_tpu.parallel.mesh import make_mesh
+    from buckgnn_tpu.train.losses import get_loss_function
+    from buckgnn_tpu.train.trainer import build_model, init_state, make_optimizer
+
+    ds = generate_dataset(4, seed=3, min_side=4, max_side=5)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=8, num_layers=2, batch_size=2,
+                      lr=1e-3, segment_impl="banded")
+    ncap, ecap = suggest_capacities(normed, 2)
+    tile, width = 64, 32
+    ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+    ecap = ((ecap + 127) // 128) * 128
+    batches = list(batch_iterator(normed, 2, ncap, ecap, band_width=width,
+                                  band_tile=tile, rcm=True))[:2]
+    assert batches[0].band is not None
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
+    opt = make_optimizer(cfg)
+    step = make_parallel_train_step(model, opt,
+                                    get_loss_function(cfg.loss_function),
+                                    cfg, nz, mesh)
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    state = init_state(model, opt, batches[0])
+    state, metrics = step(state, stacked, jax.random.key(0),
+                          jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
