@@ -16,6 +16,7 @@ Result files per ``model.bdf``:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import multiprocessing as mp
 import os
@@ -154,7 +155,13 @@ def load_single_data(args) -> GraphData | None:
             virtual_edge_percentage=cfg.virtual_edge_percentage,
             transform=cfg.transform,
             prediction_type=cfg.prediction_type,
-            seed=abs(hash(os.path.basename(bdf_path))) % (2**31),
+            # stable across processes/hosts (Python's hash() is salted per
+            # process — would make virtual edges irreproducible)
+            seed=int.from_bytes(
+                hashlib.sha256(
+                    os.path.basename(bdf_path).encode()
+                ).digest()[:4], "little",
+            ),
         )
         g.file_path = bdf_path
         return g
