@@ -75,6 +75,8 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"])
     p.add_argument("--segment-impl", default=t.segment_impl,
                    choices=["xla", "sorted", "banded", "banded_pallas"])
+    p.add_argument("--no-materialize-band", dest="materialize_band",
+                   action="store_false", default=t.materialize_band)
 
 
 def _train_cfg(args, data_cfg: DataConfig) -> TrainConfig:

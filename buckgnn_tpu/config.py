@@ -63,6 +63,10 @@ class TrainConfig:
     repack_every_epoch: bool = False        # re-shuffle batch composition
     profile_epochs: int = 0                 # XLA-trace the first N epochs
     remat: bool = False                     # checkpoint conv layers (memory)
+    # Pack-time band materialization (fastest steps, +uint8 band per batch
+    # in HBM). False rebuilds the band on device each step (~2ms) — for
+    # many-batch datasets or slow host->device links.
+    materialize_band: bool = True
 
     @property
     def eta_min(self) -> float:

@@ -237,6 +237,7 @@ def pack_graphs(
     np_dtype=np.float32,
     band_width: int | None = None,
     band_tile: int = 256,
+    materialize_band: bool = True,
 ) -> GraphBatch:
     """Pack host graphs into one fixed-capacity `GraphBatch`.
 
@@ -329,8 +330,12 @@ def pack_graphs(
             band_receivers=jnp.asarray(br),
             spill_senders=jnp.asarray(ss),
             spill_receivers=jnp.asarray(sr),
-            band=jnp.asarray(
-                _host_band_matrix(bs, br, n_node_cap, band_tile, band_width)
+            band=(
+                jnp.asarray(
+                    _host_band_matrix(bs, br, n_node_cap, band_tile,
+                                      band_width)
+                )
+                if materialize_band else None
             ),
             band_tile=band_tile,
             band_width=band_width,
@@ -365,6 +370,7 @@ def batch_iterator(
     band_width: int | None = None,
     band_tile: int = 256,
     rcm: bool = False,
+    materialize_band: bool = True,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
@@ -402,14 +408,16 @@ def batch_iterator(
         )
         if cur and would_overflow:
             yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
-                              band_width=band_width, band_tile=band_tile)
+                              band_width=band_width, band_tile=band_tile,
+                              materialize_band=materialize_band)
             cur, cur_nodes, cur_edges = [], 0, 0
         cur.append(g)
         cur_nodes += g.n_node
         cur_edges += g.n_edge
     if cur and not drop_remainder:
         yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
-                          band_width=band_width, band_tile=band_tile)
+                          band_width=band_width, band_tile=band_tile,
+                          materialize_band=materialize_band)
 
 
 def suggest_capacities(

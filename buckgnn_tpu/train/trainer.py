@@ -168,11 +168,15 @@ def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
 
 def init_state(model: BuckGNN, optimizer, sample_batch: GraphBatch,
                seed: int = 0) -> TrainState:
-    variables = model.init(jax.random.key(seed), sample_batch,
-                           deterministic=True)
+    # jit the init: eager model.init dispatches every op individually to
+    # the device (hundreds of round trips on remote/relayed backends);
+    # jitted it is one compile + one execution.
+    variables = jax.jit(
+        lambda key, b: model.init(key, b, deterministic=True)
+    )(jax.random.key(seed), sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    opt_state = optimizer.init(params)
+    opt_state = jax.jit(optimizer.init)(params)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, epoch=0)
 
@@ -245,7 +249,8 @@ def train_gnn(
         tile, width = 256, 128
         n_node_cap = ((max(n_node_cap, tile + width) + tile - 1)
                       // tile) * tile
-        band_kw = dict(band_width=width, band_tile=tile, rcm=True)
+        band_kw = dict(band_width=width, band_tile=tile, rcm=True,
+                       materialize_band=cfg.materialize_band)
 
     model = build_model(cfg, num_node_features, num_edge_features)
     optimizer = make_optimizer(cfg)
