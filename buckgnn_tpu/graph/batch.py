@@ -159,10 +159,15 @@ def _band_split(
     n_node_cap: int,
     tile: int,
     width: int,
+    analytic_supernode: bool = True,
 ):
     """Split edges into (band, spill, supernode-star) classes for the banded
     SAGE path. Returns (band_s, band_r, spill_s, spill_r, has_super_edges)
     with both lists padded to a multiple of 128 with dead-node self-loops.
+
+    ``analytic_supernode=False`` leaves supernode star edges in the normal
+    band/spill classes (functionally identical, skips the per-graph
+    analytic aggregation path).
     """
     dead = n_node_cap - 1
     slab = tile + width
@@ -173,7 +178,7 @@ def _band_split(
     touches_super = is_super[senders] | is_super[receivers]
     has_super_edges = False
     super_edge = np.zeros_like(touches_super)
-    if touches_super.any():
+    if analytic_supernode and touches_super.any():
         # Only special-case when every supernode forms a FULL star
         # (2*(n_g - 1) directed edges), which the builders guarantee; the
         # analytic aggregation path assumes exactly that pattern.
@@ -238,6 +243,7 @@ def pack_graphs(
     band_width: int | None = None,
     band_tile: int = 256,
     materialize_band: bool = True,
+    analytic_supernode: bool = True,
 ) -> GraphBatch:
     """Pack host graphs into one fixed-capacity `GraphBatch`.
 
@@ -324,6 +330,7 @@ def pack_graphs(
         bs, br, ss, sr, has_super = _band_split(
             senders, receivers, edge_mask, supernode_index, n_real_node,
             node_graph, n_node_cap, band_tile, band_width,
+            analytic_supernode=analytic_supernode,
         )
         band_kw = dict(
             band_senders=jnp.asarray(bs),
@@ -371,6 +378,7 @@ def batch_iterator(
     band_tile: int = 256,
     rcm: bool = False,
     materialize_band: bool = True,
+    analytic_supernode: bool = True,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
@@ -409,7 +417,8 @@ def batch_iterator(
         if cur and would_overflow:
             yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
                               band_width=band_width, band_tile=band_tile,
-                              materialize_band=materialize_band)
+                              materialize_band=materialize_band,
+                              analytic_supernode=analytic_supernode)
             cur, cur_nodes, cur_edges = [], 0, 0
         cur.append(g)
         cur_nodes += g.n_node
@@ -417,7 +426,8 @@ def batch_iterator(
     if cur and not drop_remainder:
         yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
                           band_width=band_width, band_tile=band_tile,
-                          materialize_band=materialize_band)
+                          materialize_band=materialize_band,
+                          analytic_supernode=analytic_supernode)
 
 
 def suggest_capacities(

@@ -158,3 +158,33 @@ def test_banded_gradients_match_xla(rng, impl):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def test_analytic_supernode_optout_matches(rng):
+    """analytic_supernode=False routes star edges through band/spill —
+    same results as the analytic path."""
+    import jax.numpy as jnp
+    from buckgnn_tpu.graph.batch import batch_iterator, suggest_capacities
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    from buckgnn_tpu.ops.banded import banded_sage_aggregate, make_agg_context
+
+    ds = generate_dataset(3, seed=9, min_side=4, max_side=6,
+                          use_super_node=True, use_virtual_edges=False)
+    normed, _ = normalize_dataset(ds)
+    ncap, ecap = suggest_capacities(normed, 3, slack=1.3)
+    ncap = ((max(ncap, 96) + 63) // 64) * 64
+    kw = dict(band_width=32, band_tile=64)
+    b_an = next(iter(batch_iterator(normed, 3, ncap, ecap, **kw)))
+    b_no = next(iter(batch_iterator(normed, 3, ncap, ecap,
+                                    analytic_supernode=False, **kw)))
+    assert b_an.has_supernode_edges and not b_no.has_supernode_edges
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(ncap, 16)).astype(np.float32))
+    a = banded_sage_aggregate(x, make_agg_context(b_an))
+    c = banded_sage_aggregate(x, make_agg_context(b_no))
+    # dead-row padding self-loop counts differ between layouts; only real
+    # rows are meaningful
+    nm = np.asarray(b_an.node_mask)
+    np.testing.assert_allclose(np.asarray(a)[nm], np.asarray(c)[nm],
+                               rtol=1e-4, atol=1e-4)
