@@ -123,6 +123,17 @@ def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
                 "mape": MAPE_error(pred, batch.y[:, 0], batch.graph_mask,
                                    "buckling", ev_scale, ev_center)
             }
+        if "static" in prediction_type:
+            # per-key static aggregates (the reference's per-key TB dicts,
+            # TRAIN_FINAL.py:307-324); summed across batches, averaged by
+            # the epoch loop
+            threshold = 0.0001 if prediction_type == "static_disp" else 0.2
+            d = stress_errors(
+                denorm(pred), denorm(batch.y), batch.node_graph,
+                aux["real_node_mask"], batch.graph_mask, prediction_type,
+                threshold,
+            )
+            return {f"static/{k}": v for k, v in d.items()}
         return {}
 
     @jax.jit
@@ -340,6 +351,11 @@ def train_gnn(
         if cfg.prediction_type == "buckling":
             writer.add_scalar("MAPE/train", train_mape, epoch)
             writer.add_scalar("MAPE/val", val_mape, epoch)
+        for k, v in vacc.items():
+            # per-key static aggregates (TRAIN_FINAL.py:307-324 parity)
+            if k.startswith("static/"):
+                writer.add_scalar(f"{k}/val", float(v) / len(val_batches),
+                                  epoch)
 
         state = dataclasses.replace(state, epoch=epoch + 1)
         ckpt.save_checkpoint(os.path.join(wdir, "last"), state, cfg,
