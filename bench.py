@@ -47,8 +47,9 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     ncap, ecap = suggest_capacities(normed, batch_size, slack=1.12)
     bw = band_width if impl.startswith("banded") else None
     if bw is not None:
-        ncap = ((max(ncap, band_tile + bw) + band_tile - 1)
-                // band_tile) * band_tile
+        # 2-tile alignment so the Pallas kernel's 2-tile unroll engages
+        ncap = ((max(ncap, band_tile + bw) + 2 * band_tile - 1)
+                // (2 * band_tile)) * (2 * band_tile)
     batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap,
                                      band_width=bw, band_tile=band_tile)))
     model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
@@ -60,7 +61,7 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     n_graphs_real = int(np.sum(np.asarray(batch.graph_mask)))
     return dict(state=state, batch=batch, train_step=train_step,
                 eval_step=eval_step, n_edges=n_edges, n_graphs=n_graphs_real,
-                key=jax.random.key(0))
+                key=jax.random.key(0, impl=cfg.rng_impl))
 
 
 def run_bench(setup, n_warmup=3, n_steps=20):

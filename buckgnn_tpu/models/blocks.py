@@ -9,10 +9,48 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from buckgnn_tpu.ops.sage import sage_aggregate
+
+
+@jax.custom_vjp
+def l2_normalize(v: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise F.normalize parity (norm clamped at 1e-12; grad-safe on
+    exactly-zero padding rows).
+
+    Custom VJP because the autodiff backward materializes ``sum(g*y)`` as a
+    lane-dimension reduce, which runs ~10x off VPU peak on TPU (measured
+    1.55 ms per [115456, 512] in the flagship step); the custom backward
+    routes that row-sum through an MXU ones-matvec instead. The forward is
+    left as the plain reduce so XLA keeps fusing it into the producing
+    matmul's epilogue.
+    """
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
+def _l2n_fwd(v):
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    y = v * inv
+    return y, (y, inv)
+
+
+def _l2n_bwd(res, g):
+    y, inv = res
+    # s = rowsum(g*y), via the MXU: [N,H] @ [H,8] ones, col 0
+    ones = jnp.ones((y.shape[-1], 8), y.dtype)
+    s = jnp.matmul(g * y, ones, preferred_element_type=jnp.float32)
+    s = s[:, :1].astype(g.dtype)
+    # d/dv [v (v.v)^-1/2] = inv (g - y (y.g)); on clamped (zero) rows the
+    # same expression reduces to inv*g, matching the clamp's true gradient
+    return ((g - y * s) * inv,)
+
+
+l2_normalize.defvjp(_l2n_fwd, _l2n_bwd)
 
 
 class MLP(nn.Module):
@@ -86,10 +124,7 @@ class SAGEConv(nn.Module):
             agg
         ) + nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_r")(x)
         if self.normalize:
-            # F.normalize parity (clamp norm at 1e-12) with a grad-safe sqrt:
-            # plain norm has NaN gradient on exactly-zero rows (padding).
-            sq = jnp.sum(out * out, axis=-1, keepdims=True)
-            out = out / jnp.sqrt(jnp.maximum(sq, 1e-24))
+            out = l2_normalize(out)
         return out
 
 

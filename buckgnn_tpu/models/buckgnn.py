@@ -328,12 +328,15 @@ class BuckGNN(nn.Module):
         mask = node_keep  # == node_mask except after SAG pooling
 
         def masked_mean(keep):
-            total = segment.segment_sum(
-                x * keep.astype(x.dtype)[:, None], batch.node_graph, batch.n_graph_cap
+            # few-segment reduction -> one-hot matmul on the MXU
+            # (~7x over the scatter-lowered segment_sum, ops/segment.py)
+            total = segment.segment_sum_dense(
+                x, batch.node_graph, batch.n_graph_cap, keep=keep
             )
-            count = segment.segment_count(
-                batch.node_graph, batch.n_graph_cap, mask=keep
+            count = segment.segment_count_dense(
+                batch.node_graph, batch.n_graph_cap, keep=keep
             )
+            # divide in f32 (counts are exact there; bf16 rounds ints > 256)
             return total / jnp.maximum(count, 1.0)[:, None]
 
         if p == "mean":
@@ -365,9 +368,9 @@ class BuckGNN(nn.Module):
                 (self.hidden_channels, 1), dtype=self.dtype, name="hybrid_att"
             )(x)
             att = nn.sigmoid(att)
-            weighted = x * att * mask.astype(x.dtype)[:, None]
-            att_pool = segment.segment_sum(
-                weighted, batch.node_graph, batch.n_graph_cap
+            weighted = x * att
+            att_pool = segment.segment_sum_dense(
+                weighted, batch.node_graph, batch.n_graph_cap, keep=mask
             )
             mean_pool = masked_mean(mask)
             big_neg = jnp.finfo(x.dtype).min

@@ -73,6 +73,53 @@ def segment_max(
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
+def one_hot_matrix(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    keep: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[num_segments, N] bool membership matrix from an iota compare.
+
+    Segment sums into a SMALL number of segments (graph readout, supernode
+    stars: num_segments ~ batch size) lower to row-sequential scatters on
+    TPU (~2 ms at [115456, 512] -> [129, 512] on a v5e). Building this
+    matrix (one cheap VPU compare, ~30 MB at flagship shape) and doing ONE
+    [G, N] @ [N, H] matmul on the MXU instead is ~7x faster; XLA CSEs the
+    matrix across every use in a step.
+    """
+    iota = jnp.arange(num_segments, dtype=segment_ids.dtype)
+    m = segment_ids[None, :] == iota[:, None]
+    if keep is not None:
+        m = jnp.logical_and(m, keep[None, :])
+    return m
+
+
+def segment_sum_dense(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    keep: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """segment_sum via one-hot matmul — for few-segment reductions (see
+    `one_hot_matrix`). ``keep`` masks elements out of all segments."""
+    p = one_hot_matrix(segment_ids, num_segments, keep).astype(data.dtype)
+    return jnp.matmul(
+        p, data, preferred_element_type=jnp.float32
+    ).astype(data.dtype)
+
+
+def segment_count_dense(
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    keep: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Element counts per segment via one-hot matvec (f32)."""
+    p = one_hot_matrix(segment_ids, num_segments, keep)
+    ones = jnp.ones((segment_ids.shape[0],), jnp.float32)
+    return jnp.matmul(p.astype(jnp.float32), ones,
+                      preferred_element_type=jnp.float32)
+
+
 def segment_softmax_weights(
     logits: jnp.ndarray,
     segment_ids: jnp.ndarray,

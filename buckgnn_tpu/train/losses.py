@@ -21,6 +21,12 @@ import jax.numpy as jnp
 
 from buckgnn_tpu.ops import segment
 
+
+def _seg_sum(data, segment_ids, num_segments):
+    """Per-graph sums via the one-hot matmul (ops/segment.py: few-segment
+    scatter-lowered segment_sum is ~10x slower on TPU)."""
+    return segment.segment_sum_dense(data, segment_ids, num_segments)
+
 __all__ = ["get_loss_function"]
 
 
@@ -266,10 +272,10 @@ class StaticFocalStressLoss:
 def _per_graph_mean(v, node_graph, node_mask, n_graphs):
     """Mean over each graph's valid node-rows; v: [N, C] -> [G]."""
     m = node_mask.astype(v.dtype)
-    num = segment.segment_sum(
+    num = _seg_sum(
         jnp.sum(v, axis=-1) * m, node_graph, n_graphs
     )
-    den = segment.segment_sum(m * v.shape[-1], node_graph, n_graphs)
+    den = _seg_sum(m * v.shape[-1], node_graph, n_graphs)
     return num / jnp.maximum(den, 1.0)
 
 
@@ -282,7 +288,7 @@ def _total_force(x, node_graph, node_mask, n_graphs):
     """Per-graph total force magnitude; force features at x[:, 3:5]
     (Losses.py:519-524)."""
     f = jnp.linalg.norm(x[:, 3:5], axis=1) * node_mask.astype(x.dtype)
-    return segment.segment_sum(f, node_graph, n_graphs)
+    return _seg_sum(f, node_graph, n_graphs)
 
 
 class GraphLoss:
@@ -362,10 +368,10 @@ class GraphMaxComponentRelativeError(GraphLoss):
         at_max = ta == seg_max[node_graph]  # [N, C] one-hot-ish
         at_max = at_max & node_mask[:, None]
         rel = jnp.abs(pred - target) / (jnp.abs(target) + 1e-8)
-        num = segment.segment_sum(
+        num = _seg_sum(
             jnp.where(at_max, rel, 0.0), node_graph, n_graphs
         )
-        den = segment.segment_sum(
+        den = _seg_sum(
             at_max.astype(rel.dtype), node_graph, n_graphs
         )
         per_comp = num / jnp.maximum(den, 1.0)
@@ -407,10 +413,10 @@ class ScaledGraphRELoss(_ScaledGraphLoss):
     # L1-norm relative error per graph (Losses.py:627-695)
     def per_graph(self, pred, target, node_graph, node_mask, n_graphs, x):
         m = node_mask.astype(pred.dtype)[:, None]
-        err = segment.segment_sum(
+        err = _seg_sum(
             jnp.sum(jnp.abs(pred - target) * m, axis=-1), node_graph, n_graphs
         )
-        tgt = segment.segment_sum(
+        tgt = _seg_sum(
             jnp.sum(jnp.abs(target) * m, axis=-1), node_graph, n_graphs
         )
         return err / (tgt + 1e-8)

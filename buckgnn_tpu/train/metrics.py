@@ -15,6 +15,12 @@ from buckgnn_tpu.ops import segment
 __all__ = ["MAPE_error", "stress_errors", "masked_mape"]
 
 
+def _seg_sum(data, segment_ids, num_segments):
+    """Sum into per-graph slots via the one-hot matmul (few segments ->
+    scatter-lowered segment_sum is ~10x slower on TPU; ops/segment.py)."""
+    return segment.segment_sum_dense(data, segment_ids, num_segments)
+
+
 def masked_mape(pred, target, mask):
     """mean(|(t - p)/t|) * 100 over valid entries (Metrics.py:10-12)."""
     m = mask.astype(pred.dtype)
@@ -64,8 +70,8 @@ def MAPE_error(
 
 def _seg_mean(v, ids, n, mask):
     m = mask.astype(v.dtype)
-    num = segment.segment_sum(v * m, ids, n)
-    den = segment.segment_sum(m, ids, n)
+    num = _seg_sum(v * m, ids, n)
+    den = _seg_sum(m, ids, n)
     return num / jnp.maximum(den, 1.0), den
 
 
@@ -105,20 +111,20 @@ def stress_errors(
         region for stress, row region for disp handled by caller)."""
         rm = region_mask  # [N, C] boolean incl. validity
         rmf = rm.astype(predictions.dtype)
-        cnt = segment.segment_sum(jnp.sum(rmf, axis=-1), node_graph, n_graphs)
+        cnt = _seg_sum(jnp.sum(rmf, axis=-1), node_graph, n_graphs)
         has = (cnt > 0).astype(predictions.dtype) * g
 
         def seg_region_mean(v):
-            num = segment.segment_sum(
+            num = _seg_sum(
                 jnp.sum(v * rmf, axis=-1), node_graph, n_graphs
             )
             return num / jnp.maximum(cnt, 1.0)
 
         mape = seg_region_mean(rel_diff) * 100.0
-        re_num = segment.segment_sum(
+        re_num = _seg_sum(
             jnp.sum(abs_diff * rmf, axis=-1), node_graph, n_graphs
         )
-        re_den = segment.segment_sum(
+        re_den = _seg_sum(
             jnp.sum(jnp.abs(targets) * rmf, axis=-1), node_graph, n_graphs
         )
         re = re_num / jnp.maximum(re_den, 1e-8) * 100.0
@@ -149,17 +155,17 @@ def stress_errors(
         ta = jnp.where(vmask, jnp.abs(targets), big_neg)
         seg_max = segment.segment_max(ta, node_graph, n_graphs)
         at_max = (ta == seg_max[node_graph]) & vmask
-        den = segment.segment_sum(at_max.astype(ta.dtype), node_graph, n_graphs)
+        den = _seg_sum(at_max.astype(ta.dtype), node_graph, n_graphs)
         for i, comp in enumerate(comps):
             sel = at_max[:, i].astype(ta.dtype)
             d = jnp.maximum(den[:, i], 1.0)
-            mx_val = segment.segment_sum(
+            mx_val = _seg_sum(
                 jnp.abs(targets[:, i]) * sel, node_graph, n_graphs
             ) / d
-            mx_mae = segment.segment_sum(
+            mx_mae = _seg_sum(
                 abs_diff[:, i] * sel, node_graph, n_graphs
             ) / d
-            mx_rel = segment.segment_sum(
+            mx_rel = _seg_sum(
                 (abs_diff[:, i] / (jnp.abs(targets[:, i]) + 1e-8)) * sel,
                 node_graph, n_graphs,
             ) / d * 100.0
@@ -214,14 +220,14 @@ def stress_errors(
         seg_max = segment.segment_max(tm, node_graph, n_graphs)
         at_max = (tm == seg_max[node_graph]) & valid
         den = jnp.maximum(
-            segment.segment_sum(at_max.astype(targets.dtype), node_graph, n_graphs),
+            _seg_sum(at_max.astype(targets.dtype), node_graph, n_graphs),
             1.0,
         )
         err_mag = jnp.linalg.norm(abs_diff, axis=1)
-        mx_val = segment.segment_sum(
+        mx_val = _seg_sum(
             target_mag * at_max, node_graph, n_graphs
         ) / den
-        mx_mae = segment.segment_sum(err_mag * at_max, node_graph, n_graphs) / den
+        mx_mae = _seg_sum(err_mag * at_max, node_graph, n_graphs) / den
         out["max_disp_val"] = jnp.sum(mx_val * g)
         out["max_disp_mae"] = jnp.sum(mx_mae * g)
         out["max_disp_rel"] = jnp.sum(mx_mae / (mx_val + 1e-8) * 100.0 * g)
@@ -230,16 +236,16 @@ def stress_errors(
         seg_cmax = segment.segment_max(ta, node_graph, n_graphs)
         at_cmax = (ta == seg_cmax[node_graph]) & vmask
         cden = jnp.maximum(
-            segment.segment_sum(at_cmax.astype(ta.dtype), node_graph, n_graphs), 1.0
+            _seg_sum(at_cmax.astype(ta.dtype), node_graph, n_graphs), 1.0
         )
         for i, comp in enumerate(["x", "y"]):
             sel = at_cmax[:, i].astype(ta.dtype)
             d = cden[:, i]
-            v = segment.segment_sum(
+            v = _seg_sum(
                 jnp.abs(targets[:, i]) * sel, node_graph, n_graphs
             ) / d
-            m = segment.segment_sum(abs_diff[:, i] * sel, node_graph, n_graphs) / d
-            r = segment.segment_sum(
+            m = _seg_sum(abs_diff[:, i] * sel, node_graph, n_graphs) / d
+            r = _seg_sum(
                 (abs_diff[:, i] / (jnp.abs(targets[:, i]) + 1e-8)) * sel,
                 node_graph, n_graphs,
             ) / d * 100.0

@@ -256,10 +256,11 @@ def train_gnn(
     band_kw: dict = {}
     if cfg.segment_impl.startswith("banded"):
         # banded packing: tile-aligned node capacity, RCM node relabeling
-        # for in-band locality on arbitrary-order meshes (graph/build.py)
+        # for in-band locality on arbitrary-order meshes (graph/build.py).
+        # Aligned to 2 tiles so the Pallas kernel's 2-tile unroll engages.
         tile, width = 256, 128
-        n_node_cap = ((max(n_node_cap, tile + width) + tile - 1)
-                      // tile) * tile
+        n_node_cap = ((max(n_node_cap, tile + width) + 2 * tile - 1)
+                      // (2 * tile)) * (2 * tile)
         band_kw = dict(band_width=width, band_tile=tile, rcm=True,
                        materialize_band=cfg.materialize_band)
 
@@ -292,7 +293,7 @@ def train_gnn(
         start_epoch = int(state.epoch)
 
     cfg_dict = checkpoint_config_dict(cfg, num_node_features, num_edge_features)
-    key = jax.random.key(cfg.seed + 1)
+    key = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl)
     best_fitness = 1e10
     history = []
 
