@@ -67,3 +67,48 @@ def test_segment_softmax_weights():
     np.testing.assert_allclose(w[:2].sum(), 1.0, rtol=1e-6)
     np.testing.assert_allclose(w[2:].sum(), 1.0, rtol=1e-6)
     assert w[1] > w[0] and w[3] > w[2]
+
+
+def test_segment_sum_dense_matches_scatter():
+    """one-hot matmul segment sums == scatter segment sums (2-D, 1-D, keep)."""
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(64, 16)).astype(np.float32)
+    ids = np.sort(rng.integers(0, 9, size=64)).astype(np.int32)
+    keep = rng.random(64) > 0.3
+    want = _np_segment(data * keep[:, None], ids, 9, "sum")
+    got = np.asarray(segment.segment_sum_dense(
+        jnp.asarray(data), jnp.asarray(ids), 9, keep=jnp.asarray(keep)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # 1-D data (matvec path)
+    v = rng.normal(size=64).astype(np.float32)
+    got1 = np.asarray(segment.segment_sum_dense(jnp.asarray(v), jnp.asarray(ids), 9))
+    want1 = _np_segment(v[:, None], ids, 9, "sum")[:, 0]
+    np.testing.assert_allclose(got1, want1, rtol=1e-5, atol=1e-6)
+    # counts
+    cnt = np.asarray(segment.segment_count_dense(
+        jnp.asarray(ids), 9, keep=jnp.asarray(keep)))
+    want_cnt = np.bincount(ids[keep], minlength=9).astype(np.float32)
+    np.testing.assert_allclose(cnt, want_cnt)
+
+
+def test_l2_normalize_custom_vjp_matches_autodiff():
+    import jax
+    from buckgnn_tpu.models.blocks import l2_normalize
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(12, 8)).astype(np.float32)
+    v[3] = 0.0  # padding row: grad must stay finite
+    g = rng.normal(size=(12, 8)).astype(np.float32)
+
+    def plain(x):
+        sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        return x / jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+    y, vjp = jax.vjp(l2_normalize, jnp.asarray(v))
+    y0, vjp0 = jax.vjp(plain, jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0), rtol=1e-6)
+    (dx,) = vjp(jnp.asarray(g))
+    (dx0,) = vjp0(jnp.asarray(g))
+    assert np.isfinite(np.asarray(dx)).all()
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx0),
+                               rtol=1e-5, atol=1e-6)
