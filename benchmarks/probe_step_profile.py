@@ -27,32 +27,34 @@ def main():
 
     from bench import build_bench_setup, run_bench
 
-    setup = build_bench_setup(batch_size=args.batch_size,
-                              use_super_node=args.super)
-    res = run_bench(setup, n_warmup=3, n_steps=20)
-    for k, v in res.items():
-        print(f"{k}: {v:,.2f}" if isinstance(v, float) else f"{k}: {v}",
-              flush=True)
+    for label, use_super in (("virtual", False), ("super", True)):
+        setup = build_bench_setup(batch_size=args.batch_size,
+                                  use_super_node=use_super)
+        res = run_bench(setup, n_warmup=3, n_steps=20)
+        print(f"== {label} ==", flush=True)
+        for k, v in res.items():
+            print(f"  {k}: {v:,.2f}" if isinstance(v, float) else
+                  f"  {k}: {v}", flush=True)
 
-    state, batch = setup["state"], setup["batch"]
-    train_step, eval_step = setup["train_step"], setup["eval_step"]
-    key = setup["key"]
-    lr = jnp.float32(1e-3)
+        state, batch = setup["state"], setup["batch"]
+        train_step, eval_step = setup["train_step"], setup["eval_step"]
+        key = setup["key"]
+        lr = jnp.float32(1e-3)
 
-    tdir = os.path.join(args.out, "train")
-    with jax.profiler.trace(tdir):
-        for _ in range(5):
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(state, batch, sub, lr)
-        jax.block_until_ready(metrics["loss"])
-    print(f"train trace -> {tdir}", flush=True)
+        tdir = os.path.join(args.out, f"train_{label}")
+        with jax.profiler.trace(tdir):
+            for _ in range(5):
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batch, sub, lr)
+            jax.block_until_ready(metrics["loss"])
+        print(f"train trace -> {tdir}", flush=True)
 
-    edir = os.path.join(args.out, "eval")
-    with jax.profiler.trace(edir):
-        for _ in range(5):
-            m, _ = eval_step(state, batch)
-        jax.block_until_ready(m["loss"])
-    print(f"eval trace -> {edir}", flush=True)
+        edir = os.path.join(args.out, f"eval_{label}")
+        with jax.profiler.trace(edir):
+            for _ in range(5):
+                m, _ = eval_step(state, batch)
+            jax.block_until_ready(m["loss"])
+        print(f"eval trace -> {edir}", flush=True)
 
 
 if __name__ == "__main__":

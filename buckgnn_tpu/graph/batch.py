@@ -95,7 +95,14 @@ class GraphBatch:
     band_senders: jnp.ndarray | None = None     # [Eb] in-band edges
     band_receivers: jnp.ndarray | None = None   # [Eb]
     spill_senders: jnp.ndarray | None = None    # [Es] out-of-band edges
-    spill_receivers: jnp.ndarray | None = None  # [Es] (receiver-sorted)
+    spill_receivers: jnp.ndarray | None = None  # [Es] (receiver-sorted,
+    #   <= SPILL_CHUNK-7 per receiver tile: kernel-fused as one-hot matmuls)
+    spill2_senders: jnp.ndarray | None = None   # [E2] per-tile cap overflow
+    spill2_receivers: jnp.ndarray | None = None  # [E2] (scatter-add path)
+    # host-precomputed fused-spill geometry (see _host_spill_ranges)
+    spill_offsets: jnp.ndarray | None = None    # [n_tiles+1] int32
+    spill_lo: jnp.ndarray | None = None         # [n_tiles, T, 1] int32
+    spill_hi: jnp.ndarray | None = None         # [n_tiles, T, 1] int32
     # [n_tiles, T, S] int8 adjacency counts, materialized at pack time on
     # host so the hot path never scatter-builds it; the Pallas kernel reads
     # the int8 directly (the XLA slab path casts in make_agg_context)
@@ -104,6 +111,10 @@ class GraphBatch:
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
     has_supernode_edges: bool = struct.field(pytree_node=False, default=False)
+    # static emptiness flags: spill lists that contain only dead-node
+    # padding let the compute path skip the spill machinery entirely
+    has_spill_edges: bool = struct.field(pytree_node=False, default=True)
+    has_spill2_edges: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def n_node_cap(self) -> int:
@@ -149,6 +160,20 @@ def capacity_for(
     )
 
 
+# Fused-spill geometry (ops/pallas_banded.py): per node tile the kernel
+# DMAs one contiguous SPILL_CHUNK-row window of receiver-sorted spill
+# messages (window start aligned down to SPILL_ALIGN rows — the bf16
+# sublane tile, so the DMA never pays a re-tiling copy) and applies it as
+# a one-hot matmul on the MXU. A tile can therefore absorb at most
+# SPILL_CHUNK - SPILL_ALIGN + 1 spill edges; the excess goes to the
+# `spill2` residual list handled by a plain scatter-add (normally empty).
+# The last tile also hosts the dead-node padding entries (< 128 of them).
+SPILL_CHUNK = 256
+SPILL_ALIGN = 16
+_SPILL_TILE_CAP = SPILL_CHUNK - SPILL_ALIGN + 1
+_SPILL_TILE_CAP_LAST = _SPILL_TILE_CAP - 127
+
+
 def _band_split(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -161,9 +186,11 @@ def _band_split(
     width: int,
     analytic_supernode: bool = True,
 ):
-    """Split edges into (band, spill, supernode-star) classes for the banded
-    SAGE path. Returns (band_s, band_r, spill_s, spill_r, has_super_edges)
-    with both lists padded to a multiple of 128 with dead-node self-loops.
+    """Split edges into (band, spill, spill-overflow, supernode-star)
+    classes for the banded SAGE path. Returns (band_s, band_r, spill_s,
+    spill_r, spill2_s, spill2_r, has_super_edges) with all lists padded to
+    a multiple of 128 with dead-node self-loops (the main spill list to at
+    least SPILL_CHUNK so the kernel's DMA window always fits).
 
     ``analytic_supernode=False`` leaves supernode star edges in the normal
     band/spill classes (functionally identical, skips the per-graph
@@ -199,14 +226,14 @@ def _band_split(
     inband = cand & (k >= 0) & (k < slab)
     spill = cand & ~inband
 
-    def pad_sorted(s, r, k=None):
+    def pad_sorted(s, r, k=None, min_len=128):
         # sort by r (and slab offset k when given, so the device-side band
         # scatter sees fully sorted flat indices — ops/banded.py)
         order = (np.argsort(r, kind="stable") if k is None
                  else np.lexsort((k, r)))
         s, r = s[order], r[order]
         n = len(s)
-        m = max(_round_up(n, 128), 128)
+        m = max(_round_up(n, 128), min_len)
         ps = np.full(m, dead, np.int32)
         pr = np.full(m, dead, np.int32)
         ps[:n], pr[:n] = s, r
@@ -214,8 +241,47 @@ def _band_split(
 
     band_s, band_r = pad_sorted(senders[inband], receivers[inband],
                                 k[inband])
-    spill_s, spill_r = pad_sorted(senders[spill], receivers[spill])
-    return band_s, band_r, spill_s, spill_r, has_super_edges
+
+    # Per-tile spill cap: the first cap entries of each receiver tile stay
+    # in the kernel-fused main list, the rest overflow to the scatter list.
+    sp_s, sp_r = senders[spill], receivers[spill]
+    order = np.argsort(sp_r, kind="stable")
+    sp_s, sp_r = sp_s[order], sp_r[order]
+    tiles = sp_r // tile
+    n_tiles = n_node_cap // tile
+    caps = np.full(n_tiles, _SPILL_TILE_CAP, np.int64)
+    caps[n_tiles - 1] = _SPILL_TILE_CAP_LAST
+    first = np.searchsorted(tiles, np.arange(n_tiles))
+    rank = np.arange(len(sp_r)) - first[tiles]
+    main = rank < caps[tiles]
+    spill_s, spill_r = pad_sorted(sp_s[main], sp_r[main],
+                                  min_len=SPILL_CHUNK)
+    spill2_s, spill2_r = pad_sorted(sp_s[~main], sp_r[~main])
+    return (band_s, band_r, spill_s, spill_r, spill2_s, spill2_r,
+            has_super_edges)
+
+
+def _host_spill_ranges(spill_r: np.ndarray, n_node_cap: int, tile: int):
+    """Window offsets + per-node [lo, hi) column ranges for the kernel-fused
+    spill (ops/pallas_banded.py). Host-side: jnp.searchsorted lowers to a
+    sequential while-loop on TPU (~12 ms per call at flagship shape)."""
+    n_tiles = n_node_cap // tile
+    es = len(spill_r)
+    off = np.searchsorted(
+        spill_r, np.arange(n_tiles + 1) * tile
+    ).astype(np.int32)
+    win = np.clip((off[:-1] // SPILL_ALIGN) * SPILL_ALIGN,
+                  0, es - SPILL_CHUNK)
+    ids = np.arange(n_node_cap)
+    lo = np.searchsorted(spill_r, ids, "left").reshape(n_tiles, tile)
+    hi = np.searchsorted(spill_r, ids, "right").reshape(n_tiles, tile)
+    lo = np.clip(lo - win[:, None], 0, SPILL_CHUNK)
+    hi = np.clip(hi - win[:, None], 0, SPILL_CHUNK)
+    # [n_tiles, T, 1] column vectors: broadcast against the kernel's
+    # [T, chunk] column iota with no relayout; the trailing singleton
+    # satisfies Mosaic's last-two-dims block tiling rule
+    return (off, lo.astype(np.int32)[..., None],
+            hi.astype(np.int32)[..., None])
 
 
 def _host_band_matrix(band_s: np.ndarray, band_r: np.ndarray,
@@ -329,16 +395,24 @@ def pack_graphs(
             )
         if n_node_cap < band_tile + band_width:
             raise ValueError("n_node_cap smaller than one slab")
-        bs, br, ss, sr, has_super = _band_split(
+        bs, br, ss, sr, ss2, sr2, has_super = _band_split(
             senders, receivers, edge_mask, supernode_index, n_real_node,
             node_graph, n_node_cap, band_tile, band_width,
             analytic_supernode=analytic_supernode,
         )
+        s_off, s_lo, s_hi = _host_spill_ranges(sr, n_node_cap, band_tile)
         band_kw = dict(
             band_senders=jnp.asarray(bs),
             band_receivers=jnp.asarray(br),
             spill_senders=jnp.asarray(ss),
             spill_receivers=jnp.asarray(sr),
+            spill2_senders=jnp.asarray(ss2),
+            spill2_receivers=jnp.asarray(sr2),
+            spill_offsets=jnp.asarray(s_off),
+            spill_lo=jnp.asarray(s_lo),
+            spill_hi=jnp.asarray(s_hi),
+            has_spill_edges=bool(np.any(sr != n_node_cap - 1)),
+            has_spill2_edges=bool(np.any(sr2 != n_node_cap - 1)),
             band=(
                 jnp.asarray(
                     _host_band_matrix(bs, br, n_node_cap, band_tile,

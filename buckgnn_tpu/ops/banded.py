@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes
 
-from buckgnn_tpu.graph.batch import GraphBatch
+from buckgnn_tpu.graph.batch import SPILL_ALIGN, SPILL_CHUNK, GraphBatch
 from buckgnn_tpu.ops import segment
 
 
@@ -114,27 +114,39 @@ class _Static(NamedTuple):
     width: int
     n_graph_cap: int
     has_super: bool
+    has_spill: bool
+    has_spill2: bool
     use_pallas: bool
     interpret: bool
     x_dtype: str
 
 
-def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
+def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, spill2_s,
+                  spill2_r, spill_off, spill_lo, spill_hi, node_graph,
                   node_mask_f, supernode_index, super_mask_f):
     """Sum-aggregation over band + spill + supernode stars.
 
     The band matmul accumulates in f32 on the MXU but emits ``x.dtype``
-    (the consumer is a Dense layer that casts to the compute dtype anyway);
-    spill edges scatter-add straight into that output — no intermediate
-    zeros array."""
+    (the consumer is a Dense layer that casts to the compute dtype anyway).
+    On the Pallas path the main spill list is FUSED into the kernel as
+    per-tile one-hot matmuls (XLA's scatter-add for it lowers to a
+    row-sequential loop costing ~2x the band matmul itself); only the rare
+    per-tile-cap overflow list (`spill2`) scatter-adds here."""
     n, h = x.shape
     tile, width = static.tile, static.width
     if static.use_pallas:
         from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
+        # spill_off/lo/hi are precomputed on host at pack time
+        # (graph/batch.py::_host_spill_ranges — jnp.searchsorted lowers to
+        # a ~12 ms sequential while-loop on TPU); an all-padding spill list
+        # skips the fused-spill machinery entirely (static flag)
+        spill_kw = dict(spill_offsets=spill_off, spill_lo=spill_lo,
+                        spill_hi=spill_hi, spill_messages=x[spill_s])
         agg = pallas_banded_matmul(band, x, tile, width,
                                    interpret=static.interpret,
-                                   out_dtype=x.dtype)
+                                   out_dtype=x.dtype,
+                                   **(spill_kw if static.has_spill else {}))
     else:
         if jnp.issubdtype(band.dtype, jnp.integer):
             # narrow-feature fallback inside a Pallas-configured context
@@ -152,8 +164,14 @@ def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
             preferred_element_type=jnp.float32,
         ).reshape(n, h).astype(x.dtype)
 
-    agg = agg.at[spill_r].add(x[spill_s], indices_are_sorted=True,
-                              unique_indices=False)
+    if not static.use_pallas and static.has_spill:
+        # main spill handled inside the kernel on the Pallas path
+        agg = agg.at[spill_r].add(x[spill_s], indices_are_sorted=True,
+                                  unique_indices=False)
+    if static.has_spill2:
+        # per-tile-cap overflow
+        agg = agg.at[spill2_r].add(x[spill2_s], indices_are_sorted=True,
+                                   unique_indices=False)
 
     if static.has_super:
         sn = supernode_index  # [G]
@@ -169,7 +187,8 @@ def _sym_sum_impl(static: _Static, x, band, spill_s, spill_r, node_graph,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _sym_sum(static, x, band, spill_s, spill_r, node_graph, node_mask_f,
+def _sym_sum(static, x, band, spill_s, spill_r, spill2_s, spill2_r,
+             spill_off, spill_lo, spill_hi, node_graph, node_mask_f,
              supernode_index, super_mask_f):
     """Sum-aggregation with a symmetry-based VJP.
 
@@ -178,17 +197,22 @@ def _sym_sum(static, x, band, spill_s, spill_r, node_graph, node_mask_f,
     dead-node padding self-loops are trivially symmetric — so the total
     adjacency A is symmetric and d/dx (A x)^T g = A g: the backward pass is
     the SAME kernel applied to the cotangent. This sidesteps a transposed
-    Pallas kernel entirely.
+    Pallas kernel entirely. (Only the TOTAL A is symmetric; the individual
+    band/spill/spill2/star pieces need not be.)
     """
-    return _sym_sum_impl(static, x, band, spill_s, spill_r, node_graph,
+    return _sym_sum_impl(static, x, band, spill_s, spill_r, spill2_s,
+                         spill2_r, spill_off, spill_lo, spill_hi, node_graph,
                          node_mask_f, supernode_index, super_mask_f)
 
 
-def _sym_sum_fwd(static, x, band, spill_s, spill_r, node_graph, node_mask_f,
+def _sym_sum_fwd(static, x, band, spill_s, spill_r, spill2_s, spill2_r,
+                 spill_off, spill_lo, spill_hi, node_graph, node_mask_f,
                  supernode_index, super_mask_f):
-    out = _sym_sum_impl(static, x, band, spill_s, spill_r, node_graph,
+    out = _sym_sum_impl(static, x, band, spill_s, spill_r, spill2_s,
+                        spill2_r, spill_off, spill_lo, spill_hi, node_graph,
                         node_mask_f, supernode_index, super_mask_f)
-    return out, (band, spill_s, spill_r, node_graph, node_mask_f,
+    return out, (band, spill_s, spill_r, spill2_s, spill2_r, spill_off,
+                 spill_lo, spill_hi, node_graph, node_mask_f,
                  supernode_index, super_mask_f)
 
 
@@ -199,13 +223,19 @@ def _zero_tangent(v):
 
 
 def _sym_sum_bwd(static, res, g):
-    band, spill_s, spill_r, node_graph, node_mask_f, sn, super_mask_f = res
+    (band, spill_s, spill_r, spill2_s, spill2_r, spill_off, spill_lo,
+     spill_hi, node_graph, node_mask_f, sn, super_mask_f) = res
     dx = _sym_sum_impl(static, g.astype(static.x_dtype), band, spill_s,
-                       spill_r, node_graph, node_mask_f.astype(static.x_dtype),
+                       spill_r, spill2_s, spill2_r, spill_off, spill_lo,
+                       spill_hi, node_graph,
+                       node_mask_f.astype(static.x_dtype),
                        sn, super_mask_f.astype(static.x_dtype))
     dx = dx.astype(static.x_dtype)
     return (dx, _zero_tangent(band), _zero_tangent(spill_s),
-            _zero_tangent(spill_r), _zero_tangent(node_graph),
+            _zero_tangent(spill_r), _zero_tangent(spill2_s),
+            _zero_tangent(spill2_r), _zero_tangent(spill_off),
+            _zero_tangent(spill_lo), _zero_tangent(spill_hi),
+            _zero_tangent(node_graph),
             jnp.zeros_like(node_mask_f), _zero_tangent(sn),
             jnp.zeros_like(super_mask_f))
 
@@ -232,6 +262,8 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
         width=batch.band_width,
         n_graph_cap=batch.n_graph_cap,
         has_super=batch.has_supernode_edges,
+        has_spill=batch.has_spill_edges,
+        has_spill2=batch.has_spill2_edges,
         # Mosaic requires the feature dim aligned to the 128-lane tiling;
         # narrow models (SAG score convs, tiny test nets) use the XLA slab
         # matmul instead
@@ -246,8 +278,10 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
         else jnp.zeros((batch.n_node_cap,), x.dtype)
     )
     agg = _sym_sum(static, x, ctx.band, batch.spill_senders,
-                   batch.spill_receivers, batch.node_graph, node_mask_f,
-                   batch.supernode_index, super_mask_f)
+                   batch.spill_receivers, batch.spill2_senders,
+                   batch.spill2_receivers, batch.spill_offsets,
+                   batch.spill_lo, batch.spill_hi, batch.node_graph,
+                   node_mask_f, batch.supernode_index, super_mask_f)
     if aggr in ("add", "sum"):
         return agg
     if aggr == "mean":

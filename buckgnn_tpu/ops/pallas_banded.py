@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the block-banded SpMM aggregation.
+"""Pallas TPU kernel for the block-banded SpMM aggregation (+ fused spill).
 
 The XLA banded path (ops/banded.py) materializes overlapping x-slabs through
 a gather, paying ~2x the bandwidth floor. This kernel streams each tile's
@@ -7,18 +7,30 @@ row ranges by construction) and feeds the MXU directly:
 
     out[t*T:(t+1)*T] = Band[t] (T x S) @ x[start_t : start_t+S] (S x H)
 
-Per layer it moves ~1.5x the node array + the (bf16) band — within ~2x of
-the HBM bandwidth floor — versus gather+scatter's 2 full edge-array sweeps.
-
 Grid: one program per UNROLL node tiles. `band` and `out` use the automatic
 pipeline; the slab DMAs are issued inside the kernel (clamped start offsets
 are data-dependent on program_id, which BlockSpec index maps cannot express)
 into an NBUF-deep rotating buffer: TPU grid iterations run sequentially on
 the core and scratch persists across them, so each iteration waits on a copy
 prefetched NBUF tiles earlier and issues the next prefetches — overlapping
-slab fetches with the matmuls. Measured on a v5e at [448x256x384]@[114688,
-512] bf16: 0.70 ms (~540 GB/s effective; naive 2-slot single-tile version
-0.79 ms, XLA slab-gather path 1.07 ms).
+slab fetches with the matmuls.
+
+**Fused spill.** Out-of-band edges are receiver-sorted, so the spill
+messages destined for node tile t are one contiguous window of the
+pre-gathered message array ([SPILL_CHUNK, H], start aligned down to 8 rows;
+pack time caps per-tile counts so the window always covers the tile —
+graph/batch.py, overflow goes to the batch's `spill2` scatter list). XLA's
+scatter-add for these edges lowers to a row-sequential loop (~1.3 ms per
+layer at 31k spill edges on a v5e — 2x the band matmul itself); instead the
+kernel DMAs each tile's window and applies it on the MXU as a selection
+matmul. Because the list is receiver-sorted, each local row's columns form
+one contiguous [lo, hi) run — the caller hands per-row lo/hi (two
+searchsorted's over node ids, CSE'd once per step) and the kernel builds
+the [SPILL_CHUNK, T] selection mask from two iota compares; no index DMAs.
+
+Measured on a v5e at [448x256x384]@[114688, 512] bf16: 0.70 ms for the band
+alone (~540 GB/s effective; naive 2-slot single-tile version 0.79 ms, XLA
+slab-gather path 1.07 ms).
 """
 
 from __future__ import annotations
@@ -29,6 +41,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from buckgnn_tpu.graph.batch import SPILL_ALIGN, SPILL_CHUNK
 
 # Slab-buffer depth and node tiles per grid step (probe: unroll 2 with a
 # 6-deep buffer beats 1/2-deep by ~10% — per-iteration DMA issue/wait
@@ -48,17 +62,43 @@ def _slab_copy(x_hbm, slab_ref, sem, t, *, tile, width, n_nodes, slot):
     )
 
 
-def _kernel(band_ref, x_hbm, out_ref, slab_ref, sem, *, tile, width, n_nodes,
-            n_tiles, out_dtype, nbuf, unroll, x_dtype):
+def _spill_copy(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill, slot):
+    # window start: off[t] aligned down to SPILL_ALIGN (the bf16 sublane
+    # tile — unaligned DMA starts pay a re-tiling copy), clamped so the
+    # fixed-size window stays in bounds (n_spill and SPILL_CHUNK are
+    # multiples of it); the caller's lo/hi column ranges use the same formula
+    start = jnp.clip(
+        (off_ref[t] // SPILL_ALIGN) * SPILL_ALIGN, 0, n_spill - SPILL_CHUNK
+    )
+    start = pl.multiple_of(start, SPILL_ALIGN)
+    return pltpu.make_async_copy(
+        msgs_hbm.at[pl.ds(start, SPILL_CHUNK), :], msg_ref.at[slot],
+        msem.at[slot],
+    )
+
+
+def _kernel(off_ref, band_ref, lo_ref, hi_ref, x_hbm, msgs_hbm, out_ref,
+            slab_ref, sem, msg_ref, msem, *,
+            tile, width, n_nodes, n_tiles, out_dtype, nbuf, unroll,
+            x_dtype, n_spill, has_spill):
     p = pl.program_id(0)
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
                              tile=tile, width=width, n_nodes=n_nodes)
+    if has_spill:
+        scopy = functools.partial(_spill_copy, msgs_hbm, off_ref, msg_ref,
+                                  msem, n_spill=n_spill)
+
+    def start_all(t, slot):
+        copy(t, slot=slot).start()
+        if has_spill:
+            scopy(t, slot=slot).start()
+
     base = p * unroll
 
     @pl.when(p == 0)
     def _():
         for j in range(min(nbuf, n_tiles)):
-            copy(j, slot=j % nbuf).start()
+            start_all(j, j % nbuf)
 
     @pl.when(p > 0)
     def _():
@@ -69,55 +109,104 @@ def _kernel(band_ref, x_hbm, out_ref, slab_ref, sem, *, tile, width, n_nodes,
 
             @pl.when(t < n_tiles)
             def _():
-                copy(t, slot=jax.lax.rem(t, nbuf)).start()
+                start_all(t, jax.lax.rem(t, nbuf))
 
     for j in range(unroll):
         t = base + j
-        copy(t, slot=jax.lax.rem(t, nbuf)).wait()
+        slot = jax.lax.rem(t, nbuf)
+        copy(t, slot=slot).wait()
         b = band_ref[j]
         if jnp.issubdtype(b.dtype, jnp.integer):
             # int8 band straight from HBM; Mosaic can't cast int8->bf16
             # directly, bounce through f32 (cheap VPU op on one tile)
             b = b.astype(jnp.float32).astype(x_dtype)
-        out_ref[pl.ds(j * tile, tile), :] = jnp.dot(
+        acc = jnp.dot(
             b,
-            slab_ref[jax.lax.rem(t, nbuf)].astype(b.dtype),
+            slab_ref[slot].astype(b.dtype),
             preferred_element_type=jnp.float32,  # MXU f32 accumulation
-        ).astype(out_dtype)
+        )
+        if has_spill:
+            scopy(t, slot=slot).wait()
+            # selection matrix: sel[r, m] = lo[r] <= m < hi[r]; lo/hi are
+            # [tile, 1] column vectors so no relayout/transpose is needed
+            m_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (tile, SPILL_CHUNK), 1
+            )
+            lo = lo_ref[j]  # [tile, 1]
+            hi = hi_ref[j]
+            sel = (m_iota >= lo) & (m_iota < hi)
+            sel = jnp.where(sel, jnp.float32(1), jnp.float32(0))
+            acc = acc + jnp.dot(
+                sel.astype(x_dtype), msg_ref[slot],
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[pl.ds(j * tile, tile), :] = acc.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("tile", "width", "interpret", "out_dtype")
 )
 def pallas_banded_matmul(
-    band: jnp.ndarray,   # [n_tiles, T, S] (int8, bf16 or f32)
-    x: jnp.ndarray,      # [N, H]
+    band: jnp.ndarray,        # [n_tiles, T, S] (int8, bf16 or f32)
+    x: jnp.ndarray,           # [N, H]
     tile: int,
     width: int,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    spill_offsets: jnp.ndarray | None = None,   # [n_tiles+1] int32
+    spill_lo: jnp.ndarray | None = None,        # [n_tiles, T, 1] int32
+    spill_hi: jnp.ndarray | None = None,        # [n_tiles, T, 1] int32
+    spill_messages: jnp.ndarray | None = None,  # [Es, H] == x[spill_s]
 ) -> jnp.ndarray:
-    """Band @ x with multi-buffered contiguous slab streaming; f32 MXU
-    accumulation, ``out_dtype`` output."""
+    """Band @ x (+ optional fused spill scatter) with multi-buffered
+    contiguous streaming; f32 MXU accumulation, ``out_dtype`` output.
+
+    ``spill_lo``/``spill_hi`` are each node's [lo, hi) column range inside
+    its tile's SPILL_CHUNK message window (window start = off[t] floored to
+    8, clamped to Es - SPILL_CHUNK).
+    """
     n_tiles, t_, slab = band.shape
     n, h = x.shape
     assert t_ == tile and slab == tile + width and n == n_tiles * tile
+    has_spill = spill_offsets is not None
+    if has_spill:
+        n_spill = spill_messages.shape[0]
+        assert n_spill >= SPILL_CHUNK and n_spill % 8 == 0
+        assert spill_lo.shape == (n_tiles, tile, 1)
+        assert spill_offsets.shape == (n_tiles + 1,)
+    else:
+        n_spill = SPILL_CHUNK
+        spill_offsets = jnp.zeros((n_tiles + 1,), jnp.int32)
+        spill_lo = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        spill_hi = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        spill_messages = jnp.zeros((SPILL_CHUNK, h), x.dtype)
     unroll = _UNROLL if n_tiles % _UNROLL == 0 else 1
     nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
 
     kernel = functools.partial(
         _kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         out_dtype=out_dtype, nbuf=nbuf, unroll=unroll, x_dtype=x.dtype,
+        n_spill=n_spill, has_spill=has_spill,
     )
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // unroll,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # spill_offsets
             pl.BlockSpec(
                 (unroll, tile, slab), lambda p: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (unroll, tile, 1), lambda p: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                      # spill_lo
+            pl.BlockSpec(
+                (unroll, tile, 1), lambda p: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                      # spill_hi
+            pl.BlockSpec(memory_space=pl.ANY),      # x
+            pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
         ],
         out_specs=pl.BlockSpec(
             (unroll * tile, h), lambda p: (p, 0), memory_space=pltpu.VMEM
@@ -126,7 +215,9 @@ def pallas_banded_matmul(
         scratch_shapes=[
             pltpu.VMEM((nbuf, slab, h), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((nbuf, SPILL_CHUNK, h), x.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
-    )(band, x)
+    )(spill_offsets, band, spill_lo, spill_hi, x, spill_messages)
     return out

@@ -188,3 +188,43 @@ def test_analytic_supernode_optout_matches(rng):
     nm = np.asarray(b_an.node_mask)
     np.testing.assert_allclose(np.asarray(a)[nm], np.asarray(c)[nm],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_spill_with_tile_cap_overflow(rng):
+    """A node receiving > SPILL_CHUNK-7 out-of-band edges overflows the
+    per-tile window; the excess must land in spill2 and the Pallas path
+    (interpret mode) must still equal the gather aggregation exactly."""
+    from buckgnn_tpu.graph.batch import SPILL_CHUNK, GraphData
+
+    n = 700  # > tile + width so a far sender is out-of-band
+    hub = 0
+    far = rng.integers(450, 700, size=320)  # 320 > 249 cap, all spill to hub
+    s_und = np.concatenate([far, np.arange(1, 640, 2)])
+    r_und = np.concatenate([np.full(len(far), hub), np.arange(2, 641, 2)])
+    senders = np.concatenate([s_und, r_und]).astype(np.int32)
+    receivers = np.concatenate([r_und, s_und]).astype(np.int32)
+    g = GraphData(
+        x=rng.normal(size=(n, 128)).astype(np.float32),
+        senders=senders, receivers=receivers,
+        edge_attr=rng.normal(size=(len(senders), 5)).astype(np.float32),
+        y=np.zeros((1,), np.float32),
+    )
+    batch = pack_graphs([g], 1024, ((len(senders) + 127) // 128) * 128, 2,
+                        band_width=128, band_tile=256)
+    n2 = int(np.sum(np.asarray(batch.spill2_receivers) != batch.dead_node_index))
+    assert n2 > 0, "expected per-tile cap overflow into spill2"
+    # per-tile main-spill counts respect the kernel window
+    sr = np.asarray(batch.spill_receivers)
+    real = sr != batch.dead_node_index
+    cnt = np.bincount(sr[real] // 256, minlength=4)
+    assert cnt.max() <= SPILL_CHUNK - 7
+
+    x = jnp.asarray(rng.normal(size=(1024, 128)).astype(np.float32))
+    x = x.at[batch.dead_node_index].set(0.0)
+    ctx = make_agg_context(batch, use_pallas=True)
+    got = banded_sage_aggregate(x, ctx, aggr="add")
+    want = sage_aggregate(x, batch.senders, batch.receivers, 1024, aggr="add")
+    mask = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[mask], np.asarray(want)[mask], rtol=1e-4, atol=1e-4
+    )
