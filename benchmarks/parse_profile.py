@@ -16,9 +16,13 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
 
 def classify(name: str) -> str:
-    n = name.lower()
+    # classify by the instruction name only — full names embed operand text
+    # (e.g. a fusion consuming a custom-call), which would misattribute
+    n = name.split(" = ")[0].lower()
     if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
         return "pallas-band-matmul"
+    if "while" in n:
+        return "while (sequential!)"
     if n.startswith(("dot", "fusion.dot")) or re.match(r".*\bdot\b", n):
         return "dot (dense matmul)"
     if "convert" in n:

@@ -112,3 +112,31 @@ def test_l2_normalize_custom_vjp_matches_autodiff():
     assert np.isfinite(np.asarray(dx)).all()
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_csr_segment_reduce_matches_xla():
+    """gather_segment_reduce (interpret) == XLA segment ops, including a
+    high-degree hub whose run spans several windows."""
+    from buckgnn_tpu.ops.pallas_segment import gather_segment_reduce
+
+    rng = np.random.default_rng(5)
+    n, h = 512, 128
+    # random edges + an 800-in-degree hub at node 3
+    r = np.concatenate([rng.integers(0, n - 1, size=2000),
+                        np.full(800, 3)])
+    s = rng.integers(0, n - 1, size=len(r))
+    order = np.argsort(r, kind="stable")
+    s, r = s[order].astype(np.int32), r[order].astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(n, h)).astype(np.float32))
+    for aggr in ("add", "mean"):
+        got = gather_segment_reduce(x, jnp.asarray(s), jnp.asarray(r), n,
+                                    aggr=aggr, interpret=True)
+        want = np.asarray(getattr(segment, f"segment_{'sum' if aggr == 'add' else aggr}")(
+            x[jnp.asarray(s)], jnp.asarray(r), n, indices_are_sorted=True))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    # narrow-feature + max fall back to XLA
+    got = gather_segment_reduce(x[:, :8], jnp.asarray(s), jnp.asarray(r), n)
+    want = np.asarray(segment.segment_sum(x[:, :8][jnp.asarray(s)],
+                                          jnp.asarray(r), n,
+                                          indices_are_sorted=True))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
