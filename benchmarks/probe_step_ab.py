@@ -18,6 +18,8 @@ def main():
     import jax
 
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    # super + virtual is not a distinct config: the builder (like the
+    # reference, GraphCreate.py:379-415) treats them as either/or
     for name, kw in {
         "virtual-edges": dict(),
         "supernode": dict(use_super_node=True),

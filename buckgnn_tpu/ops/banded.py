@@ -272,8 +272,11 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
         x_dtype=str(x.dtype),
     )
     node_mask_f = batch.node_mask.astype(x.dtype)
+    # keep the broadcast mask in the compute dtype: a f32 mask silently
+    # promotes the [N, H] supernode-broadcast product (and everything
+    # downstream of it) to f32 — measured ~0.7 ms/layer extra on a v5e
     super_mask_f = (
-        ctx.super_gather_mask
+        ctx.super_gather_mask.astype(x.dtype)
         if ctx.super_gather_mask is not None
         else jnp.zeros((batch.n_node_cap,), x.dtype)
     )
