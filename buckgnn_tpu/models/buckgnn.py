@@ -49,6 +49,8 @@ from buckgnn_tpu.models.blocks import (
 )
 from buckgnn_tpu.ops import pooling as pool_ops
 from buckgnn_tpu.ops import segment
+from buckgnn_tpu.ops.dropout import dropout as xla_dropout
+from buckgnn_tpu.ops.pallas_epilogue import relu_skip_dropout
 
 
 def output_dim_for(
@@ -119,7 +121,20 @@ class BuckGNN(nn.Module):
         real_node_mask = jnp.logical_and(batch.node_mask, jnp.logical_not(is_super))
 
         def dropout(v):
-            return nn.Dropout(rate=self.dropout_rate)(v, deterministic=deterministic)
+            if deterministic or self.dropout_rate <= 0.0:
+                return v
+            return xla_dropout(v, self.make_rng("dropout"), self.dropout_rate)
+
+        def epilogue(c, skip):
+            # relu -> (+skip) -> dropout, fused into one Pallas kernel on
+            # TPU (ops/pallas_epilogue.py): mask bits live only in VMEM
+            # and are regenerated in the backward pass.
+            key = (
+                None
+                if deterministic or self.dropout_rate <= 0.0
+                else self.make_rng("dropout")
+            )
+            return relu_skip_dropout(c, skip, key, self.dropout_rate)
 
         Conv = nn.remat(SAGEConv) if self.remat else SAGEConv
 
@@ -153,10 +168,9 @@ class BuckGNN(nn.Module):
             for i in range(L):
                 x_prev = x
                 x = conv(x, senders, receivers, agg_ctx)
-                x = nn.relu(x)
-                if 0 < i < L - 1:
-                    x = x + x_prev
-                x = dropout(x)
+                # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +
+                # dropout, as one fused epilogue
+                x = epilogue(x, x_prev if 0 < i < L - 1 else None)
 
         elif name in (
             "GraphSage_sumAggr",
@@ -185,10 +199,7 @@ class BuckGNN(nn.Module):
                     x = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
                         x, batch.node_mask, use_running_average=deterministic
                     )
-                x = nn.relu(x)
-                if 0 < i < L - 1:
-                    x = x + x_prev
-                x = dropout(x)
+                x = epilogue(x, x_prev if 0 < i < L - 1 else None)
 
         elif name == "GraphSage_MLP":
             # SAGE -> BN -> ReLU -> Linear -> (same) BN -> ReLU, inner

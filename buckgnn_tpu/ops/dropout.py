@@ -1,0 +1,56 @@
+"""Dropout primitives for the training hot loop.
+
+The reference applies ``F.dropout`` between every processor layer
+(Models/BuckGNN.py:352,470,491); at the flagship shape ([~115k, 512] node
+activations, 6 layers, forward + backward) the PRNG/mask traffic is a
+first-order cost of the step.
+
+Two implementations:
+
+- :func:`dropout` — XLA path: one uint32 word per element compared against
+  a uint32 threshold. Measured on a v5e this matches/beats
+  ``jax.random.bernoulli`` (which converts the words to float first) and
+  far outperforms byte-packed masks (uint8 bitcast/compare lowers to slow
+  sub-word unpacking on TPU: +1.2 ms per [115k, 512] call).
+- :mod:`buckgnn_tpu.ops.pallas_epilogue` — the performance path: dropout
+  fused with the relu/skip epilogue in a Pallas kernel whose mask bits are
+  generated *in VMEM* (``pltpu.prng_random_bits``) and regenerated in the
+  backward pass, so no PRNG output or mask ever touches HBM.
+
+The keep probability is quantized to ``thr/2^32`` (error < 2.4e-10); the
+scale uses the *quantized* probability, so E[dropout(x)] == x holds
+exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dropout_threshold(rate: float) -> int:
+    """uint32 threshold for a keep probability of ``1 - rate``."""
+    thr = int(round((1.0 - rate) * 2.0**32))
+    return max(1, min(2**32 - 1, thr))
+
+
+def dropout_scale(rate: float) -> float:
+    """Exact inverse of the quantized keep probability."""
+    return 2.0**32 / dropout_threshold(rate)
+
+
+def dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
+    """Inverted dropout via uint32 threshold compare.
+
+    Matches ``torch.nn.functional.dropout`` semantics (zero with
+    probability ``rate``, scale survivors by ``1/keep``).
+    """
+    if rate <= 0.0:
+        return x
+    if rate >= 1.0:
+        return jnp.zeros_like(x)
+    thr = dropout_threshold(rate)
+    words = jax.random.bits(key, x.shape, dtype=jnp.uint32)
+    keep = words < jnp.uint32(thr)
+    scale = jnp.asarray(dropout_scale(rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
