@@ -26,7 +26,9 @@ def l2_normalize(v: jnp.ndarray) -> jnp.ndarray:
     1.55 ms per [115456, 512] in the flagship step); the custom backward
     routes that row-sum through an MXU ones-matvec instead. The forward is
     left as the plain reduce so XLA keeps fusing it into the producing
-    matmul's epilogue.
+    matmul's epilogue — an MXU ones-matvec was tried for the forward too
+    and measured ~1 ms/step SLOWER (it forces the v*v intermediate to
+    materialize instead of riding the producer fusion).
     """
     sq = jnp.sum(v * v, axis=-1, keepdims=True)
     return v / jnp.sqrt(jnp.maximum(sq, 1e-24))
