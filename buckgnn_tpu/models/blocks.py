@@ -111,8 +111,40 @@ class SAGEConv(nn.Module):
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
         agg_ctx=None,
+        fused_epilogue: dict | None = None,
     ) -> jnp.ndarray:
+        """``fused_epilogue`` (keys: skip, rate, key, deterministic) routes
+        the whole layer — conv + normalize + relu (+skip) + dropout —
+        through the single fused Pallas kernel (ops/pallas_sage_layer.py)
+        and returns the POST-epilogue activations. The caller must have
+        checked ``supports_fused_layer``. The param tree is identical in
+        both modes (same lin_l/lin_r Dense children)."""
         num_nodes = x.shape[0]
+        lin_l = nn.Dense(self.features, use_bias=True, dtype=self.dtype,
+                         name="lin_l")
+        lin_r = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                         name="lin_r")
+        if fused_epilogue is not None:
+            from buckgnn_tpu.ops.pallas_epilogue import seed_from_key
+            from buckgnn_tpu.ops.pallas_sage_layer import fused_sage_layer
+
+            # bind the Dense params without paying their matmuls (the
+            # dummy rows are dead code after tracing)
+            _ = lin_l(jnp.zeros((8, x.shape[-1]), self.dtype))
+            _ = lin_r(jnp.zeros((8, x.shape[-1]), self.dtype))
+            p = self.variables["params"]
+            key = fused_epilogue["key"]
+            return fused_sage_layer(
+                x,
+                jnp.asarray(p["lin_l"]["kernel"], x.dtype),
+                jnp.asarray(p["lin_l"]["bias"], x.dtype),
+                jnp.asarray(p["lin_r"]["kernel"], x.dtype),
+                agg_ctx,
+                skip=fused_epilogue["skip"],
+                rate=fused_epilogue["rate"],
+                seed=None if key is None else seed_from_key(key),
+                deterministic=fused_epilogue["deterministic"],
+            )
         if agg_ctx is not None and self.impl in ("banded", "banded_pallas"):
             from buckgnn_tpu.ops.banded import banded_sage_aggregate
 
@@ -122,9 +154,7 @@ class SAGEConv(nn.Module):
                 x, senders, receivers, num_nodes, aggr=self.aggr,
                 impl="xla" if self.impl.startswith("banded") else self.impl,
             )
-        out = nn.Dense(self.features, use_bias=True, dtype=self.dtype, name="lin_l")(
-            agg
-        ) + nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="lin_r")(x)
+        out = lin_l(agg) + lin_r(x)
         if self.normalize:
             out = l2_normalize(out)
         return out

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -165,12 +166,42 @@ class BuckGNN(nn.Module):
                 h, aggr="add", normalize=True, dtype=self.dtype, impl=self.impl,
                 name="shared_graphsage_block",
             )
+            from buckgnn_tpu.ops.pallas_sage_layer import supports_fused_layer
+
+            # whole-layer Pallas fusion (conv+norm+relu+skip+dropout in one
+            # kernel); the in-kernel PRNG has no CPU interpret path, so
+            # training with dropout requires a real TPU
+            can_fuse = (
+                not self.remat
+                and supports_fused_layer(agg_ctx, x, "add", True)
+                and (
+                    deterministic
+                    or self.dropout_rate <= 0.0
+                    or jax.default_backend() == "tpu"
+                )
+            )
             for i in range(L):
                 x_prev = x
-                x = conv(x, senders, receivers, agg_ctx)
-                # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +
-                # dropout, as one fused epilogue
-                x = epilogue(x, x_prev if 0 < i < L - 1 else None)
+                skip = 0 < i < L - 1
+                if can_fuse:
+                    x = conv(
+                        x, senders, receivers, agg_ctx,
+                        fused_epilogue=dict(
+                            skip=skip,
+                            rate=self.dropout_rate,
+                            key=(
+                                None
+                                if deterministic or self.dropout_rate <= 0.0
+                                else self.make_rng("dropout")
+                            ),
+                            deterministic=deterministic,
+                        ),
+                    )
+                else:
+                    x = conv(x, senders, receivers, agg_ctx)
+                    # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +
+                    # dropout, as one fused epilogue
+                    x = epilogue(x, x_prev if skip else None)
 
         elif name in (
             "GraphSage_sumAggr",

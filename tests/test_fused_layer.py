@@ -1,0 +1,139 @@
+"""Fused whole-layer SAGE kernel (ops/pallas_sage_layer.py) == the unfused
+composition, in Pallas interpret mode on CPU.
+
+The in-kernel dropout PRNG has no interpret path, so CPU coverage is the
+rate==0 surface (conv + normalize + relu + skip, forward AND backward
+incl. the weight grads); the dropout mask/stream identity is verified on
+hardware by benchmarks/probe_fused_layer.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buckgnn_tpu.graph.batch import pack_graphs
+from buckgnn_tpu.graph.synthetic import generate_dataset
+from buckgnn_tpu.models.blocks import l2_normalize
+from buckgnn_tpu.models.buckgnn import BuckGNN
+from buckgnn_tpu.ops.banded import banded_sage_aggregate, make_agg_context
+from buckgnn_tpu.ops.pallas_sage_layer import (
+    fused_sage_layer,
+    supports_fused_layer,
+)
+
+
+def _packed(n_graphs=4, seed=0, band_width=128, tile=256):
+    ds = generate_dataset(
+        n_graphs, seed=seed, min_side=5, max_side=9,
+        use_super_node=False, use_virtual_edges=True,
+    )
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, tile + band_width) + tile - 1) // tile) * tile
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    return pack_graphs(ds, ncap, ecap, n_graphs + 1,
+                       band_width=band_width, band_tile=tile), ds
+
+
+def _composition(x, w_l, b_l, w_r, ctx, skip):
+    agg = banded_sage_aggregate(x, ctx, aggr="add")
+    out = agg @ w_l + b_l + x @ w_r
+    y = l2_normalize(out)
+    r = jax.nn.relu(y)
+    return r + x if skip else r
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_fused_layer_forward_matches(rng, skip):
+    batch, _ = _packed()
+    ctx = make_agg_context(batch, use_pallas=True)
+    h = 128
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    b_l = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w_r = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    assert supports_fused_layer(ctx, x, "add", True)
+    got = fused_sage_layer(x, w_l, b_l, w_r, ctx, skip=skip, rate=0.0,
+                           seed=None, deterministic=True)
+    want = _composition(x, w_l, b_l, w_r, ctx, skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_fused_layer_grads_match(rng, skip):
+    batch, _ = _packed(seed=3)
+    ctx = make_agg_context(batch, use_pallas=True)
+    h = 128
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    b_l = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w_r = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    mask = jnp.asarray(batch.node_mask, jnp.float32)[:, None]
+    probe = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+
+    def loss_fused(x, w_l, b_l, w_r):
+        z = fused_sage_layer(x, w_l, b_l, w_r, ctx, skip=skip, rate=0.0,
+                             seed=jnp.zeros((2,), jnp.int32),
+                             deterministic=False)
+        return jnp.sum(z * mask * probe)
+
+    def loss_ref(x, w_l, b_l, w_r):
+        z = _composition(x, w_l, b_l, w_r, ctx, skip)
+        return jnp.sum(z * mask * probe)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w_l, b_l, w_r)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w_l, b_l, w_r)
+    for a, b, name in zip(g_fused, g_ref, ["dx", "dw_l", "db_l", "dw_r"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"gradient mismatch: {name}",
+        )
+
+
+def test_model_fused_path_matches_xla(rng):
+    """End-to-end: the flagship model with the fused layer engaged (eval,
+    banded_pallas, no supernode) == the plain XLA implementation."""
+    batch, ds = _packed(seed=1)
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=128, num_layers=3, pooling_layer="mean",
+    )
+    m_ref = BuckGNN(impl="xla", **kwargs)
+    m_fused = BuckGNN(impl="banded_pallas", **kwargs)
+    variables = m_ref.init(jax.random.key(0), batch, deterministic=True)
+    p_ref, _ = m_ref.apply(variables, batch, deterministic=True)
+    p_fused, _ = m_fused.apply(variables, batch, deterministic=True)
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(
+        np.asarray(p_ref)[gm], np.asarray(p_fused)[gm], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_model_fused_grads_match_xla(rng):
+    batch, ds = _packed(seed=2)
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=128, num_layers=3, pooling_layer="mean",
+        dropout_rate=0.0,
+    )
+    m_ref = BuckGNN(impl="xla", **kwargs)
+    m_fused = BuckGNN(impl="banded_pallas", **kwargs)
+    variables = m_ref.init(jax.random.key(0), batch, deterministic=True)
+
+    def loss(model, v):
+        pred, _ = model.apply(v, batch, deterministic=False,
+                              rngs={"dropout": jax.random.key(1)})
+        return jnp.sum(pred * jnp.asarray(batch.graph_mask, pred.dtype))
+
+    g_ref = jax.grad(lambda v: loss(m_ref, v))(variables)
+    g_fused = jax.grad(lambda v: loss(m_fused, v))(variables)
+    flat_r, tdef_r = jax.tree.flatten(g_ref)
+    flat_f, tdef_f = jax.tree.flatten(g_fused)
+    assert tdef_r == tdef_f, "param tree must be identical across impls"
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
