@@ -99,7 +99,7 @@ def unit_checks():
 def step_ab():
     for name, kw in {
         "virtual-edges (fused layers)": dict(),
-        "supernode (unfused fallback)": dict(use_super_node=True),
+        "supernode (fused layers)": dict(use_super_node=True),
     }.items():
         setup = bench.build_bench_setup(**kw)
         res = bench.run_bench(setup, n_warmup=3, n_steps=20)

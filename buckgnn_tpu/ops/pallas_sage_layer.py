@@ -27,10 +27,15 @@ to the direct part. Dropout bits are regenerated from the seed
 (per-tile streams identical to the forward); residuals are y, inv and
 agg only.
 
+Supernode stars (the thesis flagship config) are exact: a per-graph
+correction table ([2G, H], built per layer from the layer input by cheap
+XLA segment ops) lives whole in VMEM, and each row's contribution is one
+iota-compare selection matmul — broadcast rows pick table row g, the
+supernode row picks G+g (graph_sum - own features), everyone else a
+sentinel that matches nothing.
+
 Scope guards (callers fall back to the unfused path otherwise):
-aggr='add', normalize=True, H % 128 == 0, no spill2 overflow, and the
-supernode star handled analytically OUTSIDE (has_super batches fall back
-until the windowed per-graph tables land).
+aggr='add', normalize=True, H % 128 == 0, no spill2 overflow.
 
 Reference parity anchor: SAGEConv(normalize=True, aggr='add') + the skip
 placement 0 < i < L-1 (Models/BuckGNN.py:349-351) + F.dropout.
@@ -90,14 +95,14 @@ def _fwd_kernel(
     # scalar-prefetch / SMEM
     spill_off_ref, seed_ref,
     # VMEM blocks
-    band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref,
+    band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref, table_ref,
     # ANY (HBM)
     x_hbm, msgs_hbm,
     # outputs
     *outs,
     # scratch appended after outputs by pallas_call
     tile, width, n_nodes, n_tiles, x_dtype, has_spill, n_spill,
-    skip, thr, scale, training,
+    skip, thr, scale, training, has_super, tg,
 ):
     if training:
         z_ref, y_ref, inv_ref, agg_ref = outs[:4]
@@ -148,6 +153,16 @@ def _fwd_kernel(
         acc = acc + jnp.dot(sel.astype(x_dtype), msg_ref[slot],
                             preferred_element_type=jnp.float32)
 
+    if has_super:
+        # per-row one-hot over the per-graph correction table: rows [0, G)
+        # broadcast the graph's supernode features, rows [G, 2G) add the
+        # star sum into the supernode row; sentinel tg selects nothing
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+        selg = jnp.where(g_iota == gcode_ref[0], jnp.float32(1),
+                         jnp.float32(0))
+        acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
+                            preferred_element_type=jnp.float32)
+
     agg = acc.astype(x_dtype)
 
     # the slab contains this tile's own rows at offset t*tile - start
@@ -182,11 +197,15 @@ def _fwd_kernel(
 
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
-              spill_messages, seed, *, tile, width, has_spill, skip,
-              rate, training, interpret):
+              spill_messages, seed, gcode, table, *, tile, width, has_spill,
+              skip, rate, training, interpret, has_super):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
+    if not has_super:
+        gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        table = jnp.zeros((8, h), x.dtype)
+    tg = table.shape[0]
     n_spill = spill_messages.shape[0] if has_spill else SPILL_CHUNK
     if not has_spill:
         spill_off = jnp.zeros((n_tiles + 1,), jnp.int32)
@@ -199,7 +218,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         x_dtype=x.dtype, has_spill=has_spill, n_spill=n_spill, skip=skip,
-        thr=thr, scale=scale, training=training,
+        thr=thr, scale=scale, training=training, has_super=has_super, tg=tg,
     )
     out_block = pl.BlockSpec((tile, h), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
@@ -236,6 +255,10 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
                          memory_space=pltpu.VMEM),  # b_l
             pl.BlockSpec((h, h), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),  # w_r
+            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # gcode
+            pl.BlockSpec((tg, h), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),  # table
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
         ],
@@ -248,8 +271,8 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
-    )(spill_off, seed, band, spill_lo, spill_hi, w_l, b_l, w_r, x,
-      spill_messages)
+    )(spill_off, seed, band, spill_lo, spill_hi, w_l, b_l, w_r, gcode,
+      table, x, spill_messages)
     return outs
 
 
@@ -359,68 +382,109 @@ def _zero_tangent(v):
     return jnp.zeros_like(v)
 
 
+def _super_tables(static, x, node_graph, node_mask_f, sn):
+    """Per-graph correction table for the supernode star (ops/banded.py
+    semantics): rows [0, G) = the graph's supernode features (broadcast to
+    member nodes), rows [G, 2G) = graph_sum - supernode features (added
+    into the supernode row). Zero rows for graphs without a supernode;
+    padded to the sublane multiple."""
+    from buckgnn_tpu.ops import segment
+
+    g_cap = static["n_graph_cap"]
+    gsum = segment.segment_sum_dense(x, node_graph, g_cap,
+                                     keep=node_mask_f > 0)
+    xsn = x[sn]
+    has_super = (sn < x.shape[0] - 1).astype(x.dtype)[:, None]
+    t1 = xsn * has_super
+    t2 = (gsum - xsn) * has_super
+    table = jnp.concatenate([t1, t2], axis=0)
+    pad = static["tg"] - table.shape[0]
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
+        )
+    return table
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                 spill_hi, spill_s, seed):
+                 spill_hi, spill_s, seed, gcode, node_graph, node_mask_f,
+                 sn, super_mask_f):
     z, *_ = _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off,
-                             spill_lo, spill_hi, spill_s, seed)
+                             spill_lo, spill_hi, spill_s, seed, gcode,
+                             node_graph, node_mask_f, sn, super_mask_f)
     return z
 
 
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                     spill_hi, spill_s, seed):
+                     spill_hi, spill_s, seed, gcode, node_graph,
+                     node_mask_f, sn, super_mask_f):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
+    table = (
+        _super_tables(static, x, node_graph, node_mask_f, sn)
+        if static["has_super"]
+        else jnp.zeros((0, 0), x.dtype)
+    )
     outs = _call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
+        gcode, table,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"],
-        interpret=static["interpret"],
+        interpret=static["interpret"], has_super=static["has_super"],
     )
     if not static["training"]:
         return outs, None
     z, y, inv, agg = outs
     return z, (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo,
-               spill_hi, spill_s, seed, b_l)
+               spill_hi, spill_s, seed, b_l, gcode, node_graph,
+               node_mask_f, sn, super_mask_f)
 
 
 def _fused_layer_bwd(static, res, dz):
     from buckgnn_tpu.ops.banded import _Static, _sym_sum_impl
 
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
-     spill_s, seed, b_l) = res
+     spill_s, seed, b_l, gcode, node_graph, node_mask_f, sn,
+     super_mask_f) = res
     dagg, dxp, dwl, dwr, dbl = _call_bwd_tile(
         dz, y, inv, agg, x, w_l, w_r, seed,
         tile=static["tile"], skip=static["skip"], rate=static["rate"],
         training_rate_active=static["training"] and static["rate"] > 0.0,
         interpret=static["interpret"],
     )
-    # dx_band = A @ dagg (total adjacency symmetric; see ops/banded.py).
-    # The fused layer only runs on batches without supernode stars or
-    # spill2 overflow, so only band + fused spill terms appear here.
+    # dx_band = A @ dagg — the TOTAL adjacency (band + spill + supernode
+    # stars) is symmetric (both edge directions materialized), so the
+    # backward band/spill/star aggregation is the same operator applied to
+    # the cotangent (ops/banded.py).
     sym_static = _Static(
-        tile=static["tile"], width=static["width"], n_graph_cap=1,
-        has_super=False, has_spill=static["has_spill"], has_spill2=False,
-        use_pallas=True, interpret=static["interpret"],
+        tile=static["tile"], width=static["width"],
+        n_graph_cap=static["n_graph_cap"],
+        has_super=static["has_super"], has_spill=static["has_spill"],
+        has_spill2=False, use_pallas=True, interpret=static["interpret"],
         x_dtype=str(x.dtype),
     )
-    n = x.shape[0]
     zeros_i = jnp.zeros((0,), jnp.int32)
     dx_band = _sym_sum_impl(
         sym_static, dagg, band, spill_s,
         zeros_i, zeros_i, zeros_i, spill_off, spill_lo, spill_hi,
-        zeros_i, jnp.zeros((0,), x.dtype), zeros_i,
-        jnp.zeros((0,), x.dtype),
+        node_graph, node_mask_f, sn, super_mask_f,
     )
     dx = dxp + dx_band
     return (dx, dwl.astype(w_l.dtype), dbl.astype(b_l.dtype),
             dwr.astype(w_r.dtype), _zero_tangent(band),
             _zero_tangent(spill_off), _zero_tangent(spill_lo),
             _zero_tangent(spill_hi), _zero_tangent(spill_s),
-            _zero_tangent(seed))
+            _zero_tangent(seed), _zero_tangent(gcode),
+            _zero_tangent(node_graph), jnp.zeros_like(node_mask_f),
+            _zero_tangent(sn), jnp.zeros_like(super_mask_f))
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def _round8(v: int) -> int:
+    return ((v + 7) // 8) * 8
 
 
 def supports_fused_layer(ctx, x, aggr: str, normalize: bool) -> bool:
@@ -432,7 +496,6 @@ def supports_fused_layer(ctx, x, aggr: str, normalize: bool) -> bool:
         aggr in ("add", "sum")
         and normalize
         and x.shape[-1] % 128 == 0
-        and not batch.has_supernode_edges
         and not batch.has_spill2_edges
     )
 
@@ -456,10 +519,16 @@ def fused_sage_layer(
     """
     batch = ctx.batch
     training = not deterministic
+    has_super = batch.has_supernode_edges
+    g_cap = batch.n_graph_cap
+    tg = _round8(2 * g_cap)
     static = dict(
         tile=batch.band_tile,
         width=batch.band_width,
         has_spill=batch.has_spill_edges,
+        has_super=has_super,
+        n_graph_cap=g_cap,
+        tg=tg,
         skip=bool(skip),
         rate=float(rate) if training else 0.0,
         training=training,
@@ -469,10 +538,30 @@ def fused_sage_layer(
     static = tuple(sorted(static.items()))
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
+    n_tiles = batch.n_node_cap // batch.band_tile
+    if has_super:
+        # per-row selector into the correction table (same trace across
+        # layers -> CSE'd by XLA): broadcast-receivers pick row g, the
+        # supernode row picks G+g, everyone else the sentinel tg
+        g = batch.node_graph
+        sn = batch.supernode_index
+        m = ctx.super_gather_mask > 0
+        is_super = jnp.zeros((batch.n_node_cap,), bool).at[sn].set(
+            sn < batch.dead_node_index
+        )
+        gcode = jnp.where(m, g, jnp.where(is_super, g_cap + g, tg))
+        gcode = gcode.astype(jnp.int32).reshape(n_tiles, batch.band_tile, 1)
+        node_mask_f = batch.node_mask.astype(x.dtype)
+        super_mask_f = ctx.super_gather_mask.astype(x.dtype)
+    else:
+        gcode = jnp.zeros((0,), jnp.int32)
+        node_mask_f = jnp.zeros((0,), x.dtype)
+        super_mask_f = jnp.zeros((0,), x.dtype)
     return _fused_layer(
         _StaticDict(static), x, w_l, b_l.reshape(1, -1), w_r, ctx.band,
         batch.spill_offsets, batch.spill_lo, batch.spill_hi,
-        batch.spill_senders, seed,
+        batch.spill_senders, seed, gcode, batch.node_graph, node_mask_f,
+        batch.supernode_index, super_mask_f,
     )
 
 

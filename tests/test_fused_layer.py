@@ -23,10 +23,11 @@ from buckgnn_tpu.ops.pallas_sage_layer import (
 )
 
 
-def _packed(n_graphs=4, seed=0, band_width=128, tile=256):
+def _packed(n_graphs=4, seed=0, band_width=128, tile=256,
+            supernode=False):
     ds = generate_dataset(
         n_graphs, seed=seed, min_side=5, max_side=9,
-        use_super_node=False, use_virtual_edges=True,
+        use_super_node=supernode, use_virtual_edges=not supernode,
     )
     n = sum(g.n_node for g in ds) + 1
     ncap = ((max(n, tile + band_width) + tile - 1) // tile) * tile
@@ -43,9 +44,10 @@ def _composition(x, w_l, b_l, w_r, ctx, skip):
     return r + x if skip else r
 
 
+@pytest.mark.parametrize("supernode", [False, True])
 @pytest.mark.parametrize("skip", [False, True])
-def test_fused_layer_forward_matches(rng, skip):
-    batch, _ = _packed()
+def test_fused_layer_forward_matches(rng, skip, supernode):
+    batch, _ = _packed(supernode=supernode)
     ctx = make_agg_context(batch, use_pallas=True)
     h = 128
     x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
@@ -61,9 +63,10 @@ def test_fused_layer_forward_matches(rng, skip):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("supernode", [False, True])
 @pytest.mark.parametrize("skip", [False, True])
-def test_fused_layer_grads_match(rng, skip):
-    batch, _ = _packed(seed=3)
+def test_fused_layer_grads_match(rng, skip, supernode):
+    batch, _ = _packed(seed=3, supernode=supernode)
     ctx = make_agg_context(batch, use_pallas=True)
     h = 128
     x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
@@ -93,13 +96,15 @@ def test_fused_layer_grads_match(rng, skip):
         )
 
 
-def test_model_fused_path_matches_xla(rng):
+@pytest.mark.parametrize("supernode", [False, True])
+def test_model_fused_path_matches_xla(rng, supernode):
     """End-to-end: the flagship model with the fused layer engaged (eval,
-    banded_pallas, no supernode) == the plain XLA implementation."""
-    batch, ds = _packed(seed=1)
+    banded_pallas) == the plain XLA implementation."""
+    batch, ds = _packed(seed=1, supernode=supernode)
     kwargs = dict(
         num_node_features=ds[0].x.shape[1], num_edge_features=5,
-        hidden_channels=128, num_layers=3, pooling_layer="mean",
+        hidden_channels=128, num_layers=3,
+        pooling_layer="supernode_with_pooling" if supernode else "mean",
     )
     m_ref = BuckGNN(impl="xla", **kwargs)
     m_fused = BuckGNN(impl="banded_pallas", **kwargs)
@@ -112,11 +117,13 @@ def test_model_fused_path_matches_xla(rng):
     )
 
 
-def test_model_fused_grads_match_xla(rng):
-    batch, ds = _packed(seed=2)
+@pytest.mark.parametrize("supernode", [False, True])
+def test_model_fused_grads_match_xla(rng, supernode):
+    batch, ds = _packed(seed=2, supernode=supernode)
     kwargs = dict(
         num_node_features=ds[0].x.shape[1], num_edge_features=5,
-        hidden_channels=128, num_layers=3, pooling_layer="mean",
+        hidden_channels=128, num_layers=3,
+        pooling_layer="supernode_with_pooling" if supernode else "mean",
         dropout_rate=0.0,
     )
     m_ref = BuckGNN(impl="xla", **kwargs)
