@@ -77,10 +77,11 @@ def _spill_copy(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill, slot):
     )
 
 
-def _kernel(off_ref, band_ref, lo_ref, hi_ref, x_hbm, msgs_hbm, out_ref,
+def _kernel(off_ref, band_ref, lo_ref, hi_ref, gcode_ref, table_ref,
+            x_hbm, msgs_hbm, acc_ref, out_ref,
             slab_ref, sem, msg_ref, msem, *,
             tile, width, n_nodes, n_tiles, out_dtype, nbuf, unroll,
-            x_dtype, n_spill, has_spill):
+            x_dtype, n_spill, has_spill, has_super, has_acc, tg):
     p = pl.program_id(0)
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
                              tile=tile, width=width, n_nodes=n_nodes)
@@ -140,6 +141,16 @@ def _kernel(off_ref, band_ref, lo_ref, hi_ref, x_hbm, msgs_hbm, out_ref,
                 sel.astype(x_dtype), msg_ref[slot],
                 preferred_element_type=jnp.float32,
             )
+        if has_super:
+            # supernode star corrections as one selection matmul against
+            # the per-graph table (see ops/pallas_sage_layer.py)
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+            selg = jnp.where(g_iota == gcode_ref[j], jnp.float32(1),
+                             jnp.float32(0))
+            acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
+                                preferred_element_type=jnp.float32)
+        if has_acc:
+            acc = acc + acc_ref[pl.ds(j * tile, tile), :].astype(jnp.float32)
         out_ref[pl.ds(j * tile, tile), :] = acc.astype(out_dtype)
 
 
@@ -157,18 +168,33 @@ def pallas_banded_matmul(
     spill_lo: jnp.ndarray | None = None,        # [n_tiles, T, 1] int32
     spill_hi: jnp.ndarray | None = None,        # [n_tiles, T, 1] int32
     spill_messages: jnp.ndarray | None = None,  # [Es, H] == x[spill_s]
+    gcode: jnp.ndarray | None = None,           # [n_tiles, T, 1] int32
+    table: jnp.ndarray | None = None,           # [TG, H] supernode tables
+    acc: jnp.ndarray | None = None,             # [N, H] added to the result
 ) -> jnp.ndarray:
-    """Band @ x (+ optional fused spill scatter) with multi-buffered
-    contiguous streaming; f32 MXU accumulation, ``out_dtype`` output.
+    """Band @ x (+ optional fused spill scatter, supernode star tables and
+    a fused accumulator add) with multi-buffered contiguous streaming; f32
+    MXU accumulation, ``out_dtype`` output.
 
     ``spill_lo``/``spill_hi`` are each node's [lo, hi) column range inside
     its tile's SPILL_CHUNK message window (window start = off[t] floored to
-    8, clamped to Es - SPILL_CHUNK).
+    8, clamped to Es - SPILL_CHUNK). ``gcode``/``table`` add per-row
+    selections from a per-graph correction table (the supernode star; see
+    ops/pallas_sage_layer.py). ``acc`` fuses ``+ acc`` into the output
+    store (saves a full [N, H] round-trip for callers that would add).
     """
     n_tiles, t_, slab = band.shape
     n, h = x.shape
     assert t_ == tile and slab == tile + width and n == n_tiles * tile
     has_spill = spill_offsets is not None
+    has_super = table is not None
+    has_acc = acc is not None
+    if not has_super:
+        gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        table = jnp.zeros((8, h), x.dtype)
+    if not has_acc:
+        acc = jnp.zeros((8, h), x.dtype)
+    tg = table.shape[0]
     if has_spill:
         n_spill = spill_messages.shape[0]
         assert n_spill >= SPILL_CHUNK and n_spill % 8 == 0
@@ -186,7 +212,8 @@ def pallas_banded_matmul(
     kernel = functools.partial(
         _kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         out_dtype=out_dtype, nbuf=nbuf, unroll=unroll, x_dtype=x.dtype,
-        n_spill=n_spill, has_spill=has_spill,
+        n_spill=n_spill, has_spill=has_spill, has_super=has_super,
+        has_acc=has_acc, tg=tg,
     )
     out = pl.pallas_call(
         kernel,
@@ -205,8 +232,23 @@ def pallas_banded_matmul(
                 (unroll, tile, 1), lambda p: (p, 0, 0),
                 memory_space=pltpu.VMEM,
             ),                                      # spill_hi
+            pl.BlockSpec(
+                (unroll, tile, 1), lambda p: (p, 0, 0),
+                memory_space=pltpu.VMEM,
+            ) if has_super else pl.BlockSpec(
+                (1, tile, 1), lambda p: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                      # gcode
+            pl.BlockSpec((tg, h), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),  # table
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
+            pl.BlockSpec(
+                (unroll * tile, h), lambda p: (p, 0),
+                memory_space=pltpu.VMEM,
+            ) if has_acc else pl.BlockSpec(
+                (8, h), lambda p: (0, 0), memory_space=pltpu.VMEM,
+            ),                                      # acc
         ],
         out_specs=pl.BlockSpec(
             (unroll * tile, h), lambda p: (p, 0), memory_space=pltpu.VMEM
@@ -219,5 +261,6 @@ def pallas_banded_matmul(
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
         interpret=interpret,
-    )(spill_offsets, band, spill_lo, spill_hi, x, spill_messages)
+    )(spill_offsets, band, spill_lo, spill_hi, gcode, table, x,
+      spill_messages, acc)
     return out

@@ -442,7 +442,7 @@ def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
 
 
 def _fused_layer_bwd(static, res, dz):
-    from buckgnn_tpu.ops.banded import _Static, _sym_sum_impl
+    from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
      spill_s, seed, b_l, gcode, node_graph, node_mask_f, sn,
@@ -453,24 +453,29 @@ def _fused_layer_bwd(static, res, dz):
         training_rate_active=static["training"] and static["rate"] > 0.0,
         interpret=static["interpret"],
     )
-    # dx_band = A @ dagg — the TOTAL adjacency (band + spill + supernode
+    # dx = dxp + A @ dagg — the TOTAL adjacency (band + spill + supernode
     # stars) is symmetric (both edge directions materialized), so the
     # backward band/spill/star aggregation is the same operator applied to
-    # the cotangent (ops/banded.py).
-    sym_static = _Static(
-        tile=static["tile"], width=static["width"],
-        n_graph_cap=static["n_graph_cap"],
-        has_super=static["has_super"], has_spill=static["has_spill"],
-        has_spill2=False, use_pallas=True, interpret=static["interpret"],
-        x_dtype=str(x.dtype),
+    # the cotangent (ops/banded.py). The dxp accumulator and the supernode
+    # tables (built from dagg) ride inside the band kernel, so backward
+    # touches each [N, H] operand exactly once.
+    spill_kw = (
+        dict(spill_offsets=spill_off, spill_lo=spill_lo, spill_hi=spill_hi,
+             spill_messages=dagg[spill_s])
+        if static["has_spill"]
+        else {}
     )
-    zeros_i = jnp.zeros((0,), jnp.int32)
-    dx_band = _sym_sum_impl(
-        sym_static, dagg, band, spill_s,
-        zeros_i, zeros_i, zeros_i, spill_off, spill_lo, spill_hi,
-        node_graph, node_mask_f, sn, super_mask_f,
+    super_kw = (
+        dict(gcode=gcode,
+             table=_super_tables(static, dagg, node_graph, node_mask_f, sn))
+        if static["has_super"]
+        else {}
     )
-    dx = dxp + dx_band
+    dx = pallas_banded_matmul(
+        band, dagg, static["tile"], static["width"],
+        interpret=static["interpret"], out_dtype=x.dtype, acc=dxp,
+        **spill_kw, **super_kw,
+    )
     return (dx, dwl.astype(w_l.dtype), dbl.astype(b_l.dtype),
             dwr.astype(w_r.dtype), _zero_tangent(band),
             _zero_tangent(spill_off), _zero_tangent(spill_lo),
