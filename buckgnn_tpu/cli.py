@@ -325,7 +325,8 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--grid", required=True,
                    help='JSON dict; list values are grid axes, e.g. '
                         '{"lr": [1e-2, 1e-3], "hidden_channels": [128]}')
-    u.add_argument("--grace-period", type=int, default=1500)
+    u.add_argument("--grace-period", type=int, default=None,
+                   help="ASHA rung base; default num_epochs // 10")
     _add_data_flags(u)
     _add_train_flags(u)
     u.set_defaults(fn=cmd_tune)

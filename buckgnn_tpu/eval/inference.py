@@ -165,7 +165,11 @@ def run_inference(
             for k, v in d.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n_graphs += int(np.asarray(b.graph_mask).sum())
-        res = {k: agg.get(k, 0.0) / max(len(batches), 1)
+        # stress_errors returns per-graph SUMS (train/metrics.py); the
+        # reference averages per sample (INFERENCE.py:153-172 divides by
+        # the sample count), so divide by the graph count, not the batch
+        # count.
+        res = {k: agg.get(k, 0.0) / max(n_graphs, 1)
                for k in STATIC_METRICS}
         for k, v in res.items():
             writer.add_scalar(f"{k}/test", v, 0)

@@ -167,7 +167,9 @@ def capacity_for(
 # a one-hot matmul on the MXU. A tile can therefore absorb at most
 # SPILL_CHUNK - SPILL_ALIGN + 1 spill edges; the excess goes to the
 # `spill2` residual list handled by a plain scatter-add (normally empty).
-# The last tile also hosts the dead-node padding entries (< 128 of them).
+# The last tile also hosts the dead-node padding entries (up to
+# SPILL_CHUNK - 10 of them when the real spill count is small; coverage is
+# guaranteed by the window-invariant assert in _host_spill_ranges).
 SPILL_CHUNK = 256
 SPILL_ALIGN = 16
 _SPILL_TILE_CAP = SPILL_CHUNK - SPILL_ALIGN + 1
@@ -272,6 +274,13 @@ def _host_spill_ranges(spill_r: np.ndarray, n_node_cap: int, tile: int):
     ).astype(np.int32)
     win = np.clip((off[:-1] // SPILL_ALIGN) * SPILL_ALIGN,
                   0, es - SPILL_CHUNK)
+    # Window-coverage invariant (checked, not implied): every tile's spill
+    # rows must fit its SPILL_CHUNK window. _band_split's per-tile caps
+    # (incl. the last tile hosting the dead-node padding) guarantee this;
+    # fail loudly if the padding rule or SPILL_CHUNK ever changes.
+    assert np.all(off[1:] - win <= SPILL_CHUNK), (
+        "spill window overflow: a tile's spill rows exceed its DMA window"
+    )
     ids = np.arange(n_node_cap)
     lo = np.searchsorted(spill_r, ids, "left").reshape(n_tiles, tile)
     hi = np.searchsorted(spill_r, ids, "right").reshape(n_tiles, tile)
@@ -299,6 +308,18 @@ def _host_band_matrix(band_s: np.ndarray, band_r: np.ndarray,
     k = band_s - start
     band = np.zeros(n_node_cap * slab, dtype=np.int32)
     np.add.at(band, band_r.astype(np.int64) * slab + k, 1)
+    # Only the dead-node cell (where ALL pad self-loops stack) may exceed
+    # the int8 range; a real (sender, receiver) pair with >127 parallel
+    # duplicate edges would silently lose aggregation weight — fail loudly.
+    dead_cell = (n_node_cap - 1) * slab + ((n_node_cap - 1) - np.clip(
+        ((n_node_cap - 1) // tile) * tile - width // 2,
+        0, max(n_node_cap - slab, 0)))
+    live = band > 127
+    live[dead_cell] = False
+    assert not live.any(), (
+        "band overflow: >127 duplicate edges between one (sender, receiver) "
+        "pair cannot be represented in the int8 band"
+    )
     return np.minimum(band, 127).astype(np.int8).reshape(n_tiles, tile, slab)
 
 
@@ -475,35 +496,51 @@ def batch_iterator(
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
 
-    cur: list[GraphData] = []
-    cur_nodes = 0
-    cur_edges = 0
-    for i in idx:
-        g = dataset[int(i)]
-        if g.n_node + 1 > n_node_cap or g.n_edge > n_edge_cap:
-            raise ValueError(
-                f"graph with {g.n_node} nodes / {g.n_edge} edges exceeds "
-                f"capacity ({n_node_cap}, {n_edge_cap})"
+    def packed():
+        cur: list[GraphData] = []
+        cur_nodes = 0
+        cur_edges = 0
+        for i in idx:
+            g = dataset[int(i)]
+            if g.n_node + 1 > n_node_cap or g.n_edge > n_edge_cap:
+                raise ValueError(
+                    f"graph with {g.n_node} nodes / {g.n_edge} edges exceeds "
+                    f"capacity ({n_node_cap}, {n_edge_cap})"
+                )
+            would_overflow = (
+                len(cur) == batch_size
+                or cur_nodes + g.n_node + 1 > n_node_cap
+                or cur_edges + g.n_edge > n_edge_cap
             )
-        would_overflow = (
-            len(cur) == batch_size
-            or cur_nodes + g.n_node + 1 > n_node_cap
-            or cur_edges + g.n_edge > n_edge_cap
-        )
-        if cur and would_overflow:
+            if cur and would_overflow:
+                yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
+                                  band_width=band_width, band_tile=band_tile,
+                                  materialize_band=materialize_band,
+                                  analytic_supernode=analytic_supernode)
+                cur, cur_nodes, cur_edges = [], 0, 0
+            cur.append(g)
+            cur_nodes += g.n_node
+            cur_edges += g.n_edge
+        if cur and not drop_remainder:
             yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
                               band_width=band_width, band_tile=band_tile,
                               materialize_band=materialize_band,
                               analytic_supernode=analytic_supernode)
-            cur, cur_nodes, cur_edges = [], 0, 0
-        cur.append(g)
-        cur_nodes += g.n_node
-        cur_edges += g.n_edge
-    if cur and not drop_remainder:
-        yield pack_graphs(cur, n_node_cap, n_edge_cap, batch_size + 1,
-                          band_width=band_width, band_tile=band_tile,
-                          materialize_band=materialize_band,
-                          analytic_supernode=analytic_supernode)
+
+    if band_width is None:
+        yield from packed()
+        return
+    # Uniform treedef across the run: has_spill{,2}_edges are STATIC pytree
+    # fields, so batches that differ would (a) recompile the train step per
+    # flag combination and (b) break jax.tree.map stacking in the DP path.
+    # OR the flags dataset-wide (a forced-on flag over an all-dead-padding
+    # spill list is a no-op — dead-node rows absorb everything).
+    batches = list(packed())
+    any_spill = any(b.has_spill_edges for b in batches)
+    any_spill2 = any(b.has_spill2_edges for b in batches)
+    for b in batches:
+        yield b.replace(has_spill_edges=any_spill,
+                        has_spill2_edges=any_spill2)
 
 
 def suggest_capacities(

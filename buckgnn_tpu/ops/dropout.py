@@ -52,5 +52,8 @@ def dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
     thr = dropout_threshold(rate)
     words = jax.random.bits(key, x.shape, dtype=jnp.uint32)
     keep = words < jnp.uint32(thr)
-    scale = jnp.asarray(dropout_scale(rate), x.dtype)
-    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+    # scale in f32 like the fused Pallas kernels do: a bf16-rounded inverse
+    # scale would bias E[dropout(x)] by up to ~0.4% and diverge from the
+    # kernel path's values
+    scaled = (x.astype(jnp.float32) * jnp.float32(dropout_scale(rate)))
+    return jnp.where(keep, scaled.astype(x.dtype), jnp.zeros((), x.dtype))

@@ -26,9 +26,7 @@ from buckgnn_tpu.graph.batch import GraphBatch
 from buckgnn_tpu.graph.normalizer import DatasetNormalizer
 from buckgnn_tpu.models.buckgnn import BuckGNN
 from buckgnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from buckgnn_tpu.train.losses import GRAPH_FAMILY
-from buckgnn_tpu.train.metrics import MAPE_error
-from buckgnn_tpu.train.trainer import TrainState, _denorm_fns
+from buckgnn_tpu.train.trainer import TrainState, make_loss_and_metrics
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
@@ -67,10 +65,15 @@ def make_parallel_train_step(
     normalizer: DatasetNormalizer | None,
     mesh: Mesh,
 ):
-    """Jitted SPMD train step over a stacked, sharded batch."""
-    prediction_type = cfg.prediction_type
-    is_graph_loss = cfg.loss_function in GRAPH_FAMILY
-    denorm, (ev_scale, ev_center) = _denorm_fns(normalizer, prediction_type)
+    """Jitted SPMD train step over a stacked, sharded batch.
+
+    Loss/metric assembly is the trainer's own
+    (`train.trainer.make_loss_and_metrics`), so the DP step computes exactly
+    the single-device loss and the full metric dict (incl. the per-key
+    static aggregates), weighted/summed across shards.
+    """
+    compute_loss, compute_metrics = make_loss_and_metrics(criterion, cfg,
+                                                          normalizer)
 
     def per_batch(params, batch_stats, batch: GraphBatch, dropout_key):
         variables = {"params": params}
@@ -80,22 +83,10 @@ def make_parallel_train_step(
             variables, batch, deterministic=False, mutable=["batch_stats"],
             rngs={"dropout": dropout_key},
         )
-        if prediction_type == "buckling":
-            y = batch.y[:, 0]
-            loss = criterion(denorm(pred), denorm(y), batch.graph_mask)
-            mape = MAPE_error(pred, y, batch.graph_mask, "buckling",
-                              ev_scale, ev_center)
-        else:
-            mask = aux["real_node_mask"]
-            dp, dy = denorm(pred), denorm(batch.y)
-            if is_graph_loss:
-                loss = criterion(dp, dy, batch.node_graph, mask,
-                                 batch.graph_mask, batch.nodes)
-            else:
-                loss = criterion(dp, dy, mask)
-            mape = jnp.float32(0.0)
+        loss = compute_loss(pred, aux, batch)
+        metrics = compute_metrics(pred, aux, batch)
         weight = jnp.sum(batch.graph_mask.astype(jnp.float32))
-        return loss, mape, weight, mutated.get("batch_stats", batch_stats)
+        return loss, metrics, weight, mutated.get("batch_stats", batch_stats)
 
     @jax.jit
     def train_step(state: TrainState, stacked: GraphBatch, dropout_key, lr):
@@ -103,17 +94,23 @@ def make_parallel_train_step(
         keys = jax.random.split(dropout_key, n_dev)
 
         def loss_fn(params):
-            losses, mapes, weights, new_bs = jax.vmap(
+            losses, metrics, weights, new_bs = jax.vmap(
                 per_batch, in_axes=(None, None, 0, 0)
             )(params, state.batch_stats, stacked, keys)
             w = weights / jnp.maximum(jnp.sum(weights), 1.0)
             loss = jnp.sum(losses * w)
-            mape = jnp.sum(mapes * w)
+            # per-batch means (mape) weight by graph count; per-graph SUMS
+            # (static/*) just add up across shards
+            metrics = {
+                k: (jnp.sum(v) if k.startswith("static/")
+                    else jnp.sum(v * w))
+                for k, v in metrics.items()
+            }
             # BN running stats: average the per-shard updates
             new_bs = jax.tree.map(lambda v: jnp.mean(v, axis=0), new_bs)
-            return loss, (mape, new_bs)
+            return loss, (metrics, new_bs)
 
-        (loss, (mape, new_bs)), grads = jax.value_and_grad(
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         import optax
@@ -124,6 +121,7 @@ def make_parallel_train_step(
         new_state = dataclasses.replace(
             state, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
-        return new_state, {"loss": loss, "mape": mape}
+        metrics["loss"] = loss
+        return new_state, metrics
 
     return train_step

@@ -93,9 +93,16 @@ def _denorm_fns(normalizer: DatasetNormalizer, prediction_type: str):
     return (lambda v: v), (np.float32(1.0), np.float32(0.0))
 
 
-def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
-                    normalizer: DatasetNormalizer | None):
-    """One jitted optimization step. Returns (state, metrics dict)."""
+def make_loss_and_metrics(criterion, cfg: TrainConfig,
+                          normalizer: DatasetNormalizer | None):
+    """Shared per-batch loss/metric assembly.
+
+    ONE source of truth for how (pred, aux, batch) become the training loss
+    and the metric dict — used by both the single-device steps
+    (`make_train_step`) and the SPMD data-parallel step
+    (`parallel/dp.py::make_parallel_train_step`), so the two can never
+    drift. Returns `(compute_loss, compute_metrics)`.
+    """
     prediction_type = cfg.prediction_type
     is_graph_loss = cfg.loss_function in GRAPH_FAMILY
     denorm, (ev_scale, ev_center) = _denorm_fns(normalizer, prediction_type)
@@ -125,8 +132,8 @@ def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
             }
         if "static" in prediction_type:
             # per-key static aggregates (the reference's per-key TB dicts,
-            # TRAIN_FINAL.py:307-324); summed across batches, averaged by
-            # the epoch loop
+            # TRAIN_FINAL.py:307-324); summed across batches (per-graph
+            # sums), averaged per graph by the epoch loop
             threshold = 0.0001 if prediction_type == "static_disp" else 0.2
             d = stress_errors(
                 denorm(pred), denorm(batch.y), batch.node_graph,
@@ -135,6 +142,15 @@ def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
             )
             return {f"static/{k}": v for k, v in d.items()}
         return {}
+
+    return compute_loss, compute_metrics
+
+
+def make_train_step(model: BuckGNN, optimizer, criterion, cfg: TrainConfig,
+                    normalizer: DatasetNormalizer | None):
+    """One jitted optimization step. Returns (state, metrics dict)."""
+    compute_loss, compute_metrics = make_loss_and_metrics(criterion, cfg,
+                                                          normalizer)
 
     @jax.jit
     def train_step(state: TrainState, batch: GraphBatch, dropout_key, lr):
@@ -300,6 +316,9 @@ def train_gnn(
     epoch_edges = sum(
         int(np.sum(np.asarray(b.edge_mask))) for b in train_batches
     )
+    val_graphs = sum(
+        int(np.sum(np.asarray(b.graph_mask))) for b in val_batches
+    )
     timer = StepTimer()
     profiler_cm = None
     if cfg.profile_epochs > 0:
@@ -353,9 +372,11 @@ def train_gnn(
             writer.add_scalar("MAPE/train", train_mape, epoch)
             writer.add_scalar("MAPE/val", val_mape, epoch)
         for k, v in vacc.items():
-            # per-key static aggregates (TRAIN_FINAL.py:307-324 parity)
+            # per-key static aggregates (TRAIN_FINAL.py:307-324 parity):
+            # stress_errors sums over graphs, so average per graph like the
+            # reference (INFERENCE.py:153-172), not per batch
             if k.startswith("static/"):
-                writer.add_scalar(f"{k}/val", float(v) / len(val_batches),
+                writer.add_scalar(f"{k}/val", float(v) / max(val_graphs, 1),
                                   epoch)
 
         state = dataclasses.replace(state, epoch=epoch + 1)

@@ -83,18 +83,24 @@ def hyperparameter_optimization(
     normalizer,
     output_dir: str,
     prediction_type: str = "buckling",
-    grace_period: int = 1500,
+    grace_period: int | None = None,
     reduction_factor: int = 4,
     verbose: bool = False,
 ):
     """Run all grid trials with ASHA early stopping; returns
-    (best_config_dict, results list) — TRAIN_FINAL.py:99-147 parity."""
+    (best_config_dict, results list) — TRAIN_FINAL.py:99-147 parity.
+
+    ``grace_period=None`` defaults to num_epochs // 10 (the reference's ASHA
+    used grace windows far below max_t, TRAIN_FINAL.py:122-134); a grace
+    period >= num_epochs would make early stopping inert."""
     metric = "val_mape" if prediction_type == "buckling" else "val_loss"
     trials = expand_grid(base_config)
+    max_t = int(base_config.get("num_epochs", 1000))
+    if grace_period is None:
+        grace_period = max(1, max_t // 10)
     stopper = ASHAStopper(
         metric=metric, mode="min", grace_period=grace_period,
-        reduction_factor=reduction_factor,
-        max_t=int(base_config.get("num_epochs", 1000)),
+        reduction_factor=reduction_factor, max_t=max_t,
     )
 
     results = []

