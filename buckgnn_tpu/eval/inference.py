@@ -97,9 +97,11 @@ def run_inference(
     optimizer = make_optimizer(train_cfg)
     ncap, ecap = suggest_capacities(test_data, batch_size)
     if train_cfg.segment_impl.startswith("banded"):
-        tile = 256
-        ncap = ((max(ncap, tile + 128) + tile - 1) // tile) * tile
-        band_kw = dict(band_width=128, band_tile=tile, rcm=True)
+        from buckgnn_tpu.graph.batch import select_band_geometry
+
+        tile, width = select_band_geometry(test_data)
+        ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+        band_kw = dict(band_width=width, band_tile=tile, rcm=True)
     else:
         band_kw = {}
     batches = list(

@@ -108,15 +108,17 @@ def run_time_analysis(
 
     model, train_cfg, config, normalizer = load_model_from_checkpoint(model_path)
     optimizer = make_optimizer(train_cfg)
-    band_kw = (
-        dict(band_width=128, band_tile=256, rcm=True)
-        if train_cfg.segment_impl.startswith("banded")
-        else {}
-    )
     graphs = [sample]
+    band_kw: dict = {}
+    if train_cfg.segment_impl.startswith("banded"):
+        from buckgnn_tpu.graph.batch import select_band_geometry
+
+        tile, width = select_band_geometry(graphs)
+        band_kw = dict(band_width=width, band_tile=tile, rcm=True)
     ncap, ecap = suggest_capacities(graphs, 1, slack=2.0)
     if band_kw:
-        ncap = ((max(ncap, 384) + 255) // 256) * 256
+        tile, width = band_kw["band_tile"], band_kw["band_width"]
+        ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
     b0 = next(iter(batch_iterator(graphs, 1, ncap, ecap, **band_kw)))
     state = init_state(model, optimizer, b0)
     state, _, _, _ = ckpt.load_checkpoint(model_path, state)

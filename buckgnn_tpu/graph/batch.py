@@ -107,6 +107,24 @@ class GraphBatch:
     # host so the hot path never scatter-builds it; the Pallas kernel reads
     # the int8 directly (the XLA slab path casts in make_agg_context)
     band: jnp.ndarray | None = None
+    # host-precomputed supernode-star code vectors (analytic supernode
+    # only; XLA scatter-built equivalents cost ~0.9 ms/step on a v5e):
+    # gcode[r]  — APPLY code: which correction-table row node r selects
+    #             (g for star-broadcast receivers, G+g for the supernode,
+    #             sentinel tg otherwise);
+    # gacc[r]   — ACCUMULATE code: which table row node r's features sum
+    #             into when building the NEXT layer's table (g for
+    #             supernode rows -> t1, G+g for real non-super rows -> t2,
+    #             sentinel otherwise);
+    # super_mask — 1.0 on star-broadcast receivers (make_agg_context's
+    #             super_gather_mask, host-built).
+    gcode: jnp.ndarray | None = None        # [n_tiles, T, 1] int32
+    gacc: jnp.ndarray | None = None         # [n_tiles, 1, T] int32
+    super_mask: jnp.ndarray | None = None   # [N] float32
+    # optional edge-partitioned shards for the multi-device 'model' path
+    # (parallel/partitioned.py::PartitionedBatch, attached via
+    # `batch.replace(part=partition_batch(batch, D))`)
+    part: object | None = None
     # static metadata (not traced)
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
@@ -422,7 +440,42 @@ def pack_graphs(
             analytic_supernode=analytic_supernode,
         )
         s_off, s_lo, s_hi = _host_spill_ranges(sr, n_node_cap, band_tile)
+        super_kw: dict = {}
+        if has_super:
+            g_cap = n_graph_cap
+            tg = ((2 * g_cap + 7) // 8) * 8  # sentinel (matches _round8)
+            is_super = np.zeros(n_node_cap, dtype=bool)
+            real_super = supernode_index < dead
+            is_super[supernode_index[real_super]] = True
+            graph_has = np.zeros(n_graph_cap, dtype=bool)
+            graph_has[np.nonzero(real_super)[0]] = True
+            member = graph_has[node_graph] & node_mask & ~is_super
+            g = node_graph.astype(np.int64)
+            gcode_host = np.where(member, g,
+                                  np.where(is_super, g_cap + g, tg))
+            gacc_host = np.where(is_super, g,
+                                 np.where(node_mask, g_cap + g, tg))
+            # pre-shaped for the kernels' BlockSpecs (a per-step reshape
+            # from [N] re-tiles the array: ~0.17 ms on a v5e). gcode is a
+            # [T, 1] column (selects table rows per node); gacc is a
+            # [1, T] row (builds the one-hot already transposed so the
+            # accumulation matmul needs no in-kernel relayout).
+            n_tiles_b = n_node_cap // band_tile
+            super_kw = dict(
+                gcode=jnp.asarray(
+                    gcode_host.astype(np.int32).reshape(
+                        n_tiles_b, band_tile, 1
+                    )
+                ),
+                gacc=jnp.asarray(
+                    gacc_host.astype(np.int32).reshape(
+                        n_tiles_b, 1, band_tile
+                    )
+                ),
+                super_mask=jnp.asarray(member.astype(np.float32)),
+            )
         band_kw = dict(
+            **super_kw,
             band_senders=jnp.asarray(bs),
             band_receivers=jnp.asarray(br),
             spill_senders=jnp.asarray(ss),
@@ -541,6 +594,53 @@ def batch_iterator(
     for b in batches:
         yield b.replace(has_spill_edges=any_spill,
                         has_spill2_edges=any_spill2)
+
+
+def select_band_geometry(
+    dataset: Sequence[GraphData],
+    tile: int = 256,
+    widths: Sequence[int] = (64, 128, 256),
+    target_spill: float = 0.05,
+    sample: int = 64,
+    seed: int = 0,
+    rcm: bool = True,
+) -> tuple[int, int]:
+    """Pick (band_tile, band_width) for a dataset — the ONE source of truth
+    for band geometry (trainer / inference / timer all call this instead of
+    hardcoding 256/128).
+
+    Probes a sample of (RCM-reordered, matching `batch_iterator(rcm=True)`)
+    graphs with the C++ ``bg_band_count`` kernel (NumPy fallback,
+    utils/native.py::band_fraction) and returns the SMALLEST width whose
+    edge spill fraction stays <= ``target_spill`` — smaller widths mean less
+    band-matrix HBM traffic; meshes whose RCM bandwidth exceeds every
+    candidate get the largest width instead of silently degrading into the
+    scatter spill path. Per-graph windows approximate the packed layout
+    (graphs pack contiguously, so intra-graph offsets dominate).
+    """
+    from buckgnn_tpu.utils import native
+
+    if not len(dataset):
+        return tile, widths[-1]
+    rng_ = np.random.default_rng(seed)
+    idx = rng_.permutation(len(dataset))[: min(sample, len(dataset))]
+    graphs = [dataset[int(i)] for i in idx]
+    if rcm:
+        from buckgnn_tpu.graph.build import rcm_reorder
+
+        graphs = [rcm_reorder(g) for g in graphs]
+    for width in widths:
+        total = in_band = 0
+        for g in graphs:
+            pos = np.arange(g.n_node, dtype=np.int64)
+            frac = native.band_fraction(
+                g.senders, g.receivers, pos, g.n_node, tile, width
+            )
+            in_band += frac * g.n_edge
+            total += g.n_edge
+        if total == 0 or in_band / total >= 1.0 - target_spill:
+            return tile, int(width)
+    return tile, int(widths[-1])
 
 
 def suggest_capacities(

@@ -55,7 +55,29 @@ from jax.experimental.pallas import tpu as pltpu
 from buckgnn_tpu.graph.batch import SPILL_ALIGN, SPILL_CHUNK
 from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
 
-_NBUF = 6  # slab prefetch depth (matches ops/pallas_banded.py)
+# Slab-buffer depth and node tiles per grid step (matches
+# ops/pallas_banded.py: unroll 2 with a 6-deep buffer amortizes the
+# per-iteration DMA issue/wait overhead over two matmul chains and the
+# deeper prefetch hides latency behind the epilogue math).
+_NBUF = 6
+_UNROLL = 2
+
+
+# Route in-kernel row-sums (L2-norm forward, norm-backward s) through an
+# MXU ones-matvec instead of a VPU lane reduce. Trace-time switch so
+# benchmarks/probe_kernels.py can A/B it per kernel. Measured (v5e,
+# flagship shape, benchmarks/probe_kernels.py): the MXU route LOSES —
+# fwd 4.01 vs 3.12 ms, bwd tile 3.79 vs 3.53 ms — the [T, H] @ [H, 8]
+# matvec's relayout + issue overhead exceeds the VPU lane-reduce cost.
+ROWSUM_MXU = False
+
+
+def _rowsum(v: jnp.ndarray) -> jnp.ndarray:
+    """[T, H] f32 -> [T, 1] row sums."""
+    if ROWSUM_MXU:
+        ones = jnp.ones((v.shape[-1], 8), jnp.float32)
+        return jnp.dot(v, ones, preferred_element_type=jnp.float32)[:, :1]
+    return jnp.sum(v, axis=-1, keepdims=True)
 
 
 # --------------------------------------------------------------------- #
@@ -83,34 +105,34 @@ def _spill_copy(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill, slot):
     )
 
 
-def _seed_tile(seed_ref):
-    # Mosaic's prng_seed takes at most 2 words; mix the tile index into the
-    # first with a Weyl increment. The backward kernel repeats this exactly,
-    # so both passes see the same bit stream.
-    i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] ^ (i * jnp.int32(-1640531527)), seed_ref[1])
+def _seed_tile(seed_ref, t):
+    # Mosaic's prng_seed takes at most 2 words; mix the NODE-TILE index into
+    # the first with a Weyl increment. The forward (unrolled grid) and the
+    # backward (one tile per grid step) both key on the tile index, so both
+    # passes see the same bit stream regardless of their grid shapes.
+    pltpu.prng_seed(seed_ref[0] ^ (t * jnp.int32(-1640531527)), seed_ref[1])
 
 
 def _fwd_kernel(
     # scalar-prefetch / SMEM
     spill_off_ref, seed_ref,
     # VMEM blocks
-    band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref, table_ref,
+    band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref,
+    table_ref,
     # ANY (HBM)
     x_hbm, msgs_hbm,
     # outputs
     *outs,
     # scratch appended after outputs by pallas_call
     tile, width, n_nodes, n_tiles, x_dtype, has_spill, n_spill,
-    skip, thr, scale, training, has_super, tg,
+    skip, thr, scale, training, has_super, tg, unroll,
 ):
+    outs = list(outs)
+    z_ref = outs.pop(0)
     if training:
-        z_ref, y_ref, inv_ref, agg_ref = outs[:4]
-        slab_ref, sem, msg_ref, msem = outs[4:]
-    else:
-        (z_ref,) = outs[:1]
-        slab_ref, sem, msg_ref, msem = outs[1:]
-    t = pl.program_id(0)
+        y_ref, inv_ref, agg_ref = outs.pop(0), outs.pop(0), outs.pop(0)
+    slab_ref, sem, msg_ref, msem = outs
+    p = pl.program_id(0)
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
                              tile=tile, width=width, n_nodes=n_nodes)
     if has_spill:
@@ -123,82 +145,96 @@ def _fwd_kernel(
             scopy(i, slot=slot).start()
 
     nbuf = slab_ref.shape[0]
+    base = p * unroll
 
-    @pl.when(t == 0)
+    @pl.when(p == 0)
     def _():
         for j in range(min(nbuf, n_tiles)):
             start_all(j, j % nbuf)
 
-    @pl.when(t > 0)
+    @pl.when(p > 0)
     def _():
-        i = t + (nbuf - 1)
+        # keep the buffer nbuf tiles ahead: previous steps already started
+        # tiles [0, base + (nbuf - unroll)); start the next `unroll`
+        for j in range(unroll):
+            i = base + (nbuf - unroll) + j
 
-        @pl.when(i < n_tiles)
-        def _():
-            start_all(i, jax.lax.rem(i, nbuf))
+            @pl.when(i < n_tiles)
+            def _():
+                start_all(i, jax.lax.rem(i, nbuf))
 
-    slot = jax.lax.rem(t, nbuf)
-    copy(t, slot=slot).wait()
+    for j in range(unroll):
+        t = base + j
+        slot = jax.lax.rem(t, nbuf)
+        copy(t, slot=slot).wait()
 
-    b = band_ref[0]
-    if jnp.issubdtype(b.dtype, jnp.integer):
-        b = b.astype(jnp.float32).astype(x_dtype)
-    acc = jnp.dot(b, slab_ref[slot].astype(b.dtype),
-                  preferred_element_type=jnp.float32)
-    if has_spill:
-        scopy(t, slot=slot).wait()
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, SPILL_CHUNK), 1)
-        sel = (m_iota >= lo_ref[0]) & (m_iota < hi_ref[0])
-        sel = jnp.where(sel, jnp.float32(1), jnp.float32(0))
-        acc = acc + jnp.dot(sel.astype(x_dtype), msg_ref[slot],
-                            preferred_element_type=jnp.float32)
+        b = band_ref[j]
+        if jnp.issubdtype(b.dtype, jnp.integer):
+            b = b.astype(jnp.float32).astype(x_dtype)
+        acc = jnp.dot(b, slab_ref[slot].astype(b.dtype),
+                      preferred_element_type=jnp.float32)
+        if has_spill:
+            scopy(t, slot=slot).wait()
+            m_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                              (tile, SPILL_CHUNK), 1)
+            sel = (m_iota >= lo_ref[j]) & (m_iota < hi_ref[j])
+            sel = jnp.where(sel, jnp.float32(1), jnp.float32(0))
+            acc = acc + jnp.dot(sel.astype(x_dtype), msg_ref[slot],
+                                preferred_element_type=jnp.float32)
 
-    if has_super:
-        # per-row one-hot over the per-graph correction table: rows [0, G)
-        # broadcast the graph's supernode features, rows [G, 2G) add the
-        # star sum into the supernode row; sentinel tg selects nothing
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
-        selg = jnp.where(g_iota == gcode_ref[0], jnp.float32(1),
-                         jnp.float32(0))
-        acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
-                            preferred_element_type=jnp.float32)
+        if has_super:
+            # per-row one-hot over the per-graph correction table: rows
+            # [0, G) broadcast the graph's supernode features, rows [G, 2G)
+            # add the star sum into the supernode row; sentinel tg selects
+            # nothing
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+            selg = jnp.where(g_iota == gcode_ref[j], jnp.float32(1),
+                             jnp.float32(0))
+            acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
+                                preferred_element_type=jnp.float32)
 
-    agg = acc.astype(x_dtype)
+        agg = acc.astype(x_dtype)
 
-    # the slab contains this tile's own rows at offset t*tile - start
-    start = jnp.clip(t * tile - width // 2, 0, max(n_nodes - (tile + width), 0))
-    loc = pl.multiple_of(t * tile - start, 8)
-    x_tile = slab_ref[slot, pl.ds(loc, tile), :]
+        # the slab contains this tile's own rows at offset t*tile - start
+        start = jnp.clip(t * tile - width // 2,
+                         0, max(n_nodes - (tile + width), 0))
+        loc = pl.multiple_of(t * tile - start, 8)
+        x_tile = slab_ref[slot, pl.ds(loc, tile), :]
 
-    out = (
-        jnp.dot(agg, wl_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(x_tile, wr_ref[...], preferred_element_type=jnp.float32)
-        + bl_ref[...].astype(jnp.float32)
-    )
+        out = (
+            jnp.dot(agg, wl_ref[...], preferred_element_type=jnp.float32)
+            + jnp.dot(x_tile, wr_ref[...], preferred_element_type=jnp.float32)
+            + bl_ref[...].astype(jnp.float32)
+        )
 
-    sq = jnp.sum(out * out, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, jnp.float32(1e-24)))
-    y = out * inv
+        # row-sum optionally via an MXU ones-matvec: the VPU lane-dimension
+        # reduce runs ~10x off peak (~0.9 us per tile — the kernel's grid
+        # steps do not overlap VPU with MXU, so that lands straight on the
+        # critical path; cf. models/blocks.py::_l2n_bwd)
+        sq = _rowsum(out * out)
+        inv = jax.lax.rsqrt(jnp.maximum(sq, jnp.float32(1e-24)))
+        y = out * inv
 
-    r = jnp.maximum(y, jnp.float32(0.0))
-    if skip:
-        r = r + x_tile.astype(jnp.float32)
-    if thr is not None:
-        _seed_tile(seed_ref)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(r.shape), jnp.uint32)
-        keep = bits < jnp.uint32(thr)
-        r = jnp.where(keep, r * jnp.float32(scale), jnp.float32(0.0))
+        r = jnp.maximum(y, jnp.float32(0.0))
+        if skip:
+            r = r + x_tile.astype(jnp.float32)
+        if thr is not None:
+            _seed_tile(seed_ref, t)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(r.shape), jnp.uint32)
+            keep = bits < jnp.uint32(thr)
+            r = jnp.where(keep, r * jnp.float32(scale), jnp.float32(0.0))
 
-    z_ref[...] = r.astype(x_dtype)
-    if training:
-        y_ref[...] = y.astype(x_dtype)
-        inv_ref[...] = inv
-        agg_ref[...] = agg
+        row = pl.ds(j * tile, tile)
+        z_ref[row, :] = r.astype(x_dtype)
+        if training:
+            y_ref[row, :] = y.astype(x_dtype)
+            inv_ref[row, :] = inv
+            agg_ref[row, :] = agg
 
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
-              spill_messages, seed, gcode, table, *, tile, width, has_spill,
-              skip, rate, training, interpret, has_super):
+              spill_messages, seed, gcode, table, *, tile, width,
+              has_spill, skip, rate, training, interpret, has_super):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
@@ -214,13 +250,15 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         spill_messages = jnp.zeros((SPILL_CHUNK, h), x.dtype)
     thr = dropout_threshold(rate) if (training and rate > 0.0) else None
     scale = dropout_scale(rate) if thr is not None else None
+    unroll = _UNROLL if n_tiles % _UNROLL == 0 else 1
 
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         x_dtype=x.dtype, has_spill=has_spill, n_spill=n_spill, skip=skip,
         thr=thr, scale=scale, training=training, has_super=has_super, tg=tg,
+        unroll=unroll,
     )
-    out_block = pl.BlockSpec((tile, h), lambda t: (t, 0),
+    out_block = pl.BlockSpec((unroll * tile, h), lambda p: (p, 0),
                              memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((n, h), x.dtype)]
     out_specs = [out_block]
@@ -232,38 +270,38 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         ]
         out_specs += [
             out_block,
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+            pl.BlockSpec((unroll * tile, 1), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
             out_block,
         ]
-    nbuf = _NBUF if n_tiles > 2 else 2
+    nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
     outs = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_tiles // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spill_off
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec((1, tile, slab), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, slab), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # band
-            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # spill_lo
-            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # spill_hi
-            pl.BlockSpec((h, h), lambda t: (0, 0),
+            pl.BlockSpec((h, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # w_l
-            pl.BlockSpec((1, h), lambda t: (0, 0),
+            pl.BlockSpec((1, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # b_l
-            pl.BlockSpec((h, h), lambda t: (0, 0),
+            pl.BlockSpec((h, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # w_r
-            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # gcode
-            pl.BlockSpec((tg, h), lambda t: (0, 0),
+            pl.BlockSpec((tg, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # table
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
         ],
-        out_specs=out_specs if training else out_specs[0],
-        out_shape=out_shapes if training else out_shapes[0],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((nbuf, slab, h), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -283,29 +321,36 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
 
 def _bwd_kernel(
     seed_ref,
-    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wl_ref, wr_ref,
-    dagg_ref, dxp_ref, dwl_ref, dwr_ref, dbl_ref,
-    *, tile, x_dtype, skip, thr, scale, n_tiles,
+    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wl_ref, wr_ref, gacc_ref,
+    *outs,
+    tile, x_dtype, skip, thr, scale, n_tiles, has_super, tg,
 ):
+    outs = list(outs)
+    dagg_ref, dxp_ref, dwl_ref, dwr_ref, dbl_ref = outs[:5]
+    if has_super:
+        tbwd_ref = outs[5]
+        tacc_ref = outs[-1]  # VMEM scratch accumulator
     t = pl.program_id(0)
     dz = dz_ref[...].astype(jnp.float32)
     if thr is not None:
-        _seed_tile(seed_ref)
+        _seed_tile(seed_ref, t)
         bits = pltpu.bitcast(pltpu.prng_random_bits(dz.shape), jnp.uint32)
         keep = bits < jnp.uint32(thr)
         dz = jnp.where(keep, dz * jnp.float32(scale), jnp.float32(0.0))
     y = y_ref[...].astype(jnp.float32)
     dy = jnp.where(y > 0.0, dz, jnp.float32(0.0))
     inv = inv_ref[...]
-    s = jnp.sum(dy * y, axis=-1, keepdims=True)
+    # row-sum optionally via MXU — see the forward kernel's norm note
+    s = _rowsum(dy * y)
     dout = (dy - y * s) * inv
     dout_c = dout.astype(x_dtype)
 
     # dagg = dout @ W_l^T ; direct dx = dout @ W_r^T (+ dz through the skip)
-    dagg_ref[...] = jax.lax.dot_general(
+    dagg = jax.lax.dot_general(
         dout_c, wl_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x_dtype)
+    dagg_ref[...] = dagg
     dxp = jax.lax.dot_general(
         dout_c, wr_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -326,49 +371,80 @@ def _bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     dbl_t = jnp.sum(dout, axis=0, keepdims=True)
+    if has_super:
+        # the backward band aggregation's supernode tables are
+        # _super_tables(dagg) — accumulate them here so dagg is never
+        # re-read for an XLA table build ([tg, T] one-hot, no relayout)
+        a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
+        sela = jnp.where(a_iota == gacc_ref[0], jnp.float32(1),
+                         jnp.float32(0))
+        tb = jnp.dot(sela.astype(x_dtype), dagg,
+                     preferred_element_type=jnp.float32)
 
     @pl.when(t == 0)
     def _():
         dwl_ref[...] = dwl_t
         dwr_ref[...] = dwr_t
         dbl_ref[...] = dbl_t
+        if has_super:
+            tacc_ref[...] = tb
 
     @pl.when(t > 0)
     def _():
         dwl_ref[...] += dwl_t
         dwr_ref[...] += dwr_t
         dbl_ref[...] += dbl_t
+        if has_super:
+            tacc_ref[...] += tb
+
+    if has_super:
+        @pl.when(t == n_tiles - 1)
+        def _():
+            tbwd_ref[...] = tacc_ref[...]
 
 
-def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, *, tile, skip, rate,
-                   training_rate_active, interpret):
+def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
+                   rate, training_rate_active, interpret, has_super, tg):
     n, h = dz.shape
     n_tiles = n // tile
     thr = dropout_threshold(rate) if training_rate_active else None
     scale = dropout_scale(rate) if thr is not None else None
+    if not has_super:
+        gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
     kern = functools.partial(
         _bwd_kernel, tile=tile, x_dtype=x.dtype, skip=skip, thr=thr,
-        scale=scale, n_tiles=n_tiles,
+        scale=scale, n_tiles=n_tiles, has_super=has_super, tg=tg,
     )
     blk = pl.BlockSpec((tile, h), lambda t: (t, 0), memory_space=pltpu.VMEM)
-    blk1 = pl.BlockSpec((tile, 1), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    blkv = pl.BlockSpec((tile, 1), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [blk, blk, full, full, row]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h), x.dtype),      # dagg
+        jax.ShapeDtypeStruct((n, h), x.dtype),      # dxp
+        jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_l
+        jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_r
+        jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_l
+    ]
+    if has_super:
+        out_specs += [pl.BlockSpec((tg, h), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((tg, h), jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  blk, blk, blk1, blk, blk, full, full],
-        out_specs=[blk, blk, full, full, row],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h), x.dtype),      # dagg
-            jax.ShapeDtypeStruct((n, h), x.dtype),      # dxp
-            jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_l
-            jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_r
-            jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_l
-        ],
+                  blk, blk, blkv, blk, blk, full, full, blk1],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((tg, h), jnp.float32)] if has_super else []
+        ),
         interpret=interpret,
-    )(seed, dz, y, inv, agg, x, w_l, w_r)
+    )(seed, dz, y, inv, agg, x, w_l, w_r, gacc)
 
 
 # --------------------------------------------------------------------- #
@@ -382,23 +458,22 @@ def _zero_tangent(v):
     return jnp.zeros_like(v)
 
 
-def _super_tables(static, x, node_graph, node_mask_f, sn):
+def _super_tables(x, node_graph, node_mask, sn, g_cap, tg):
     """Per-graph correction table for the supernode star (ops/banded.py
     semantics): rows [0, G) = the graph's supernode features (broadcast to
     member nodes), rows [G, 2G) = graph_sum - supernode features (added
     into the supernode row). Zero rows for graphs without a supernode;
-    padded to the sublane multiple."""
+    padded to the sublane multiple. Only needed for the FIRST layer — each
+    fused layer accumulates the next layer's table in-kernel."""
     from buckgnn_tpu.ops import segment
 
-    g_cap = static["n_graph_cap"]
-    gsum = segment.segment_sum_dense(x, node_graph, g_cap,
-                                     keep=node_mask_f > 0)
+    gsum = segment.segment_sum_dense(x, node_graph, g_cap, keep=node_mask)
     xsn = x[sn]
     has_super = (sn < x.shape[0] - 1).astype(x.dtype)[:, None]
     t1 = xsn * has_super
     t2 = (gsum - xsn) * has_super
     table = jnp.concatenate([t1, t2], axis=0)
-    pad = static["tg"] - table.shape[0]
+    pad = tg - table.shape[0]
     if pad:
         table = jnp.concatenate(
             [table, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
@@ -408,23 +483,25 @@ def _super_tables(static, x, node_graph, node_mask_f, sn):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                 spill_hi, spill_s, seed, gcode, node_graph, node_mask_f,
-                 sn, super_mask_f):
-    z, *_ = _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off,
-                             spill_lo, spill_hi, spill_s, seed, gcode,
-                             node_graph, node_mask_f, sn, super_mask_f)
-    return z
+                 spill_hi, spill_s, seed, gcode, gacc, table):
+    """Returns z.
+
+    ``table`` is the layer's supernode correction table — _super_tables(x),
+    a pure linear function of x built OUTSIDE this boundary. It carries
+    ZERO cotangent by declaration: the star operator is symmetric, so the
+    full gradient of the star path is already delivered through the
+    backward's total-A application to the cotangent (see _fused_layer_bwd,
+    whose own tables are accumulated from dagg inside the tile kernel).
+    """
+    out, _ = _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off,
+                              spill_lo, spill_hi, spill_s, seed, gcode,
+                              gacc, table)
+    return out
 
 
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                     spill_hi, spill_s, seed, gcode, node_graph,
-                     node_mask_f, sn, super_mask_f):
+                     spill_hi, spill_s, seed, gcode, gacc, table):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
-    table = (
-        _super_tables(static, x, node_graph, node_mask_f, sn)
-        if static["has_super"]
-        else jnp.zeros((0, 0), x.dtype)
-    )
     outs = _call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
         gcode, table,
@@ -434,31 +511,33 @@ def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
         interpret=static["interpret"], has_super=static["has_super"],
     )
     if not static["training"]:
-        return outs, None
+        (z,) = outs
+        return z, None
     z, y, inv, agg = outs
     return z, (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo,
-               spill_hi, spill_s, seed, b_l, gcode, node_graph,
-               node_mask_f, sn, super_mask_f)
+               spill_hi, spill_s, seed, b_l, gcode, gacc, table)
 
 
 def _fused_layer_bwd(static, res, dz):
     from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
-     spill_s, seed, b_l, gcode, node_graph, node_mask_f, sn,
-     super_mask_f) = res
-    dagg, dxp, dwl, dwr, dbl = _call_bwd_tile(
-        dz, y, inv, agg, x, w_l, w_r, seed,
+     spill_s, seed, b_l, gcode, gacc, table) = res
+    tg = table.shape[0] if static["has_super"] else 8
+    bwd_outs = _call_bwd_tile(
+        dz, y, inv, agg, x, w_l, w_r, seed, gacc,
         tile=static["tile"], skip=static["skip"], rate=static["rate"],
         training_rate_active=static["training"] and static["rate"] > 0.0,
-        interpret=static["interpret"],
+        interpret=static["interpret"], has_super=static["has_super"], tg=tg,
     )
+    dagg, dxp, dwl, dwr, dbl = bwd_outs[:5]
     # dx = dxp + A @ dagg — the TOTAL adjacency (band + spill + supernode
     # stars) is symmetric (both edge directions materialized), so the
     # backward band/spill/star aggregation is the same operator applied to
     # the cotangent (ops/banded.py). The dxp accumulator and the supernode
-    # tables (built from dagg) ride inside the band kernel, so backward
-    # touches each [N, H] operand exactly once.
+    # tables (accumulated from dagg inside the tile kernel above) ride
+    # inside the band kernel, so backward touches each [N, H] operand
+    # exactly once.
     spill_kw = (
         dict(spill_offsets=spill_off, spill_lo=spill_lo, spill_hi=spill_hi,
              spill_messages=dagg[spill_s])
@@ -466,8 +545,7 @@ def _fused_layer_bwd(static, res, dz):
         else {}
     )
     super_kw = (
-        dict(gcode=gcode,
-             table=_super_tables(static, dagg, node_graph, node_mask_f, sn))
+        dict(gcode=gcode, table=bwd_outs[5].astype(x.dtype))
         if static["has_super"]
         else {}
     )
@@ -481,8 +559,7 @@ def _fused_layer_bwd(static, res, dz):
             _zero_tangent(spill_off), _zero_tangent(spill_lo),
             _zero_tangent(spill_hi), _zero_tangent(spill_s),
             _zero_tangent(seed), _zero_tangent(gcode),
-            _zero_tangent(node_graph), jnp.zeros_like(node_mask_f),
-            _zero_tangent(sn), jnp.zeros_like(super_mask_f))
+            _zero_tangent(gacc), jnp.zeros_like(table))
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
@@ -532,8 +609,6 @@ def fused_sage_layer(
         width=batch.band_width,
         has_spill=batch.has_spill_edges,
         has_super=has_super,
-        n_graph_cap=g_cap,
-        tg=tg,
         skip=bool(skip),
         rate=float(rate) if training else 0.0,
         training=training,
@@ -545,28 +620,36 @@ def fused_sage_layer(
         seed = jnp.zeros((2,), jnp.int32)
     n_tiles = batch.n_node_cap // batch.band_tile
     if has_super:
-        # per-row selector into the correction table (same trace across
-        # layers -> CSE'd by XLA): broadcast-receivers pick row g, the
-        # supernode row picks G+g, everyone else the sentinel tg
-        g = batch.node_graph
-        sn = batch.supernode_index
-        m = ctx.super_gather_mask > 0
-        is_super = jnp.zeros((batch.n_node_cap,), bool).at[sn].set(
-            sn < batch.dead_node_index
-        )
-        gcode = jnp.where(m, g, jnp.where(is_super, g_cap + g, tg))
-        gcode = gcode.astype(jnp.int32).reshape(n_tiles, batch.band_tile, 1)
-        node_mask_f = batch.node_mask.astype(x.dtype)
-        super_mask_f = ctx.super_gather_mask.astype(x.dtype)
+        # per-row table selectors, host-precomputed at pack time
+        # (batch.gcode/gacc) — the XLA scatter build cost ~0.9 ms/step on a
+        # v5e; the scatter path remains for batches packed before the
+        # fields existed.
+        if batch.gcode is not None:
+            gcode, gacc = batch.gcode, batch.gacc  # pre-shaped at pack time
+        else:
+            g = batch.node_graph
+            sn = batch.supernode_index
+            m = ctx.super_gather_mask > 0
+            is_super = jnp.zeros((batch.n_node_cap,), bool).at[sn].set(
+                sn < batch.dead_node_index
+            )
+            gcode = jnp.where(m, g, jnp.where(is_super, g_cap + g, tg))
+            gcode = gcode.astype(jnp.int32).reshape(
+                n_tiles, batch.band_tile, 1
+            )
+            gacc = jnp.where(
+                is_super, g, jnp.where(batch.node_mask, g_cap + g, tg)
+            ).astype(jnp.int32).reshape(n_tiles, 1, batch.band_tile)
+        table = _super_tables(x, batch.node_graph, batch.node_mask,
+                              batch.supernode_index, g_cap, tg)
     else:
         gcode = jnp.zeros((0,), jnp.int32)
-        node_mask_f = jnp.zeros((0,), x.dtype)
-        super_mask_f = jnp.zeros((0,), x.dtype)
+        gacc = jnp.zeros((0,), jnp.int32)
+        table = jnp.zeros((8, x.shape[1]), x.dtype)
     return _fused_layer(
         _StaticDict(static), x, w_l, b_l.reshape(1, -1), w_r, ctx.band,
         batch.spill_offsets, batch.spill_lo, batch.spill_hi,
-        batch.spill_senders, seed, gcode, batch.node_graph, node_mask_f,
-        batch.supernode_index, super_mask_f,
+        batch.spill_senders, seed, gcode, gacc, table,
     )
 
 

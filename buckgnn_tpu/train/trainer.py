@@ -272,9 +272,16 @@ def train_gnn(
     band_kw: dict = {}
     if cfg.segment_impl.startswith("banded"):
         # banded packing: tile-aligned node capacity, RCM node relabeling
-        # for in-band locality on arbitrary-order meshes (graph/build.py).
+        # for in-band locality on arbitrary-order meshes (graph/build.py),
+        # band width auto-selected from the dataset's RCM bandwidth
+        # (batch.py::select_band_geometry — ONE source of truth shared with
+        # eval/inference.py and eval/timer.py).
         # Aligned to 2 tiles so the Pallas kernel's 2-tile unroll engages.
-        tile, width = 256, 128
+        from buckgnn_tpu.graph.batch import select_band_geometry
+
+        tile, width = select_band_geometry(
+            list(train_data) + list(val_data)
+        )
         n_node_cap = ((max(n_node_cap, tile + width) + 2 * tile - 1)
                       // (2 * tile)) * (2 * tile)
         band_kw = dict(band_width=width, band_tile=tile, rcm=True,

@@ -87,3 +87,46 @@ def test_node_level_targets(rng):
     assert b.y.shape == (n_cap, 3)
     np.testing.assert_allclose(np.asarray(b.y)[:5], graphs[0].y)
     np.testing.assert_allclose(np.asarray(b.y)[5:12], graphs[1].y)
+
+
+def test_select_band_geometry_scrambled_mesh():
+    """Auto band-width selection (the ONE source of truth for trainer /
+    inference / timer): on a scrambled-node-order mesh, the selected
+    geometry + RCM packing must keep the spill fraction under the target
+    instead of silently degrading into the scatter path."""
+    from buckgnn_tpu.graph.batch import select_band_geometry
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+
+    ds = generate_dataset(6, seed=11, min_side=8, max_side=12,
+                          use_virtual_edges=False)
+    # scramble node order to destroy the generator's row-major locality
+    rng = np.random.default_rng(0)
+    scrambled = []
+    for g in ds:
+        perm = rng.permutation(g.n_node)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(g.n_node)
+        import dataclasses as dc
+        scrambled.append(dc.replace(
+            g, x=g.x[perm],
+            senders=inv[g.senders].astype(np.int32),
+            receivers=inv[g.receivers].astype(np.int32),
+            y=g.y, supernode=(int(inv[g.supernode]) if g.supernode >= 0
+                              else -1),
+        ))
+    target = 0.05
+    tile, width = select_band_geometry(scrambled, target_spill=target)
+    assert width in (64, 128, 256)
+    n = sum(g.n_node for g in scrambled) + 1
+    ncap = ((max(n, tile + width) + tile - 1) // tile) * tile
+    ecap = ((sum(g.n_edge for g in scrambled) + 127) // 128) * 128
+    batches = list(batch_iterator(scrambled, 6, ncap, ecap,
+                                  band_width=width, band_tile=tile,
+                                  rcm=True))
+    spill = real = 0
+    for b in batches:
+        dead = b.n_node_cap - 1
+        spill += int((np.asarray(b.spill_receivers) != dead).sum())
+        spill += int((np.asarray(b.spill2_receivers) != dead).sum())
+        real += int(np.asarray(b.edge_mask).sum())
+    assert spill / real <= target * 2.5  # packed-tile phase slack
