@@ -74,7 +74,8 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--compute-dtype", default=t.compute_dtype,
                    choices=["float32", "bfloat16"])
     p.add_argument("--segment-impl", default=t.segment_impl,
-                   choices=["xla", "sorted", "banded", "banded_pallas"])
+                   choices=["xla", "sorted", "banded", "banded_pallas",
+                            "banded_partitioned"])
     p.add_argument("--no-materialize-band", dest="materialize_band",
                    action="store_false", default=t.materialize_band)
 

@@ -59,7 +59,7 @@ class TrainConfig:
     seed: int = 0
     # TPU-specific knobs (no reference counterpart)
     compute_dtype: str = "float32"          # 'float32' | 'bfloat16'
-    segment_impl: str = "xla"               # 'xla'|'sorted'|'banded'|'banded_pallas'
+    segment_impl: str = "xla"               # 'xla'|'sorted'|'banded'|'banded_pallas'|'banded_partitioned'
     repack_every_epoch: bool = False        # re-shuffle batch composition
     profile_epochs: int = 0                 # XLA-trace the first N epochs
     remat: bool = False                     # checkpoint conv layers (memory)

@@ -145,7 +145,9 @@ class SAGEConv(nn.Module):
                 seed=None if key is None else seed_from_key(key),
                 deterministic=fused_epilogue["deterministic"],
             )
-        if agg_ctx is not None and self.impl in ("banded", "banded_pallas"):
+        if agg_ctx is not None and self.impl in (
+            "banded", "banded_pallas", "banded_partitioned"
+        ):
             from buckgnn_tpu.ops.banded import banded_sage_aggregate
 
             agg = banded_sage_aggregate(x, agg_ctx, aggr=self.aggr)

@@ -148,7 +148,7 @@ class BuckGNN(nn.Module):
         # SAGE layers (ops/banded.py).
         agg_ctx = None
         if (
-            self.impl in ("banded", "banded_pallas")
+            self.impl in ("banded", "banded_pallas", "banded_partitioned")
             and batch.band_senders is not None
         ):
             from buckgnn_tpu.ops.banded import make_agg_context
@@ -158,6 +158,7 @@ class BuckGNN(nn.Module):
                 use_pallas=self.impl == "banded_pallas",
                 # only the mean-aggregation variants divide by in-degree
                 need_degree="mean" in name.lower(),
+                partitioned=self.impl == "banded_partitioned",
             )
 
         # ---------------- processors ---------------- #

@@ -47,6 +47,9 @@ class AggContext:
     super_gather_mask: jnp.ndarray | None  # [N] 1.0 where node receives super
     band_dtype: jnp.dtype | None = None
     use_pallas: bool = False
+    # edge-partitioned multi-device path (parallel/partitioned.py): node
+    # rows sharded over the 'model' mesh axis, halo exchange over ICI
+    part: object | None = None          # PartitionedBatch | None
 
 
 def build_band_matrix(batch: GraphBatch, dtype=jnp.float32):
@@ -73,9 +76,21 @@ def build_band_matrix(batch: GraphBatch, dtype=jnp.float32):
 
 def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32,
                      use_pallas: bool = False,
-                     need_degree: bool = False) -> AggContext:
+                     need_degree: bool = False,
+                     partitioned: bool = False) -> AggContext:
     """``need_degree`` avoids a per-step edge-count scatter for the add/sum
-    aggregations (the flagship path); mean aggregation requires it."""
+    aggregations (the flagship path); mean aggregation requires it.
+    ``partitioned`` routes aggregation through the edge-partitioned
+    multi-device operator (requires ``batch.part``, set via
+    `parallel.partitioned.partition_batch` + ``batch.replace``)."""
+    if partitioned:
+        if batch.part is None:
+            raise ValueError(
+                "partitioned aggregation needs batch.part "
+                "(parallel.partitioned.partition_batch)"
+            )
+        return AggContext(batch=batch, band=None, degree=None,
+                          super_gather_mask=None, part=batch.part)
     if batch.band_senders is None:
         return AggContext(batch=batch, band=None,
                           degree=None, super_gather_mask=None)
@@ -96,12 +111,19 @@ def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32,
         )
     if batch.has_supernode_edges:
         # nodes that receive the supernode broadcast: real nodes of graphs
-        # with a supernode, except the supernode itself
-        has_super = batch.supernode_index < batch.dead_node_index  # [G]
-        node_has = has_super[batch.node_graph]
-        is_super = jnp.zeros(n, bool).at[batch.supernode_index].set(has_super)
-        mask = node_has & batch.node_mask & ~is_super
-        super_gather_mask = mask.astype(jnp.float32)
+        # with a supernode, except the supernode itself. Host-precomputed
+        # at pack time (batch.super_mask); the scatter build remains for
+        # legacy batches.
+        if batch.super_mask is not None:
+            super_gather_mask = batch.super_mask
+        else:
+            has_super = batch.supernode_index < batch.dead_node_index  # [G]
+            node_has = has_super[batch.node_graph]
+            is_super = jnp.zeros(n, bool).at[batch.supernode_index].set(
+                has_super
+            )
+            mask = node_has & batch.node_mask & ~is_super
+            super_gather_mask = mask.astype(jnp.float32)
     else:
         super_gather_mask = None
     return AggContext(batch=batch, band=band,
@@ -251,6 +273,14 @@ def banded_sage_aggregate(x: jnp.ndarray, ctx: AggContext,
     invariant of every graph source in this framework.
     """
     batch = ctx.batch
+    if ctx.part is not None:
+        # edge-partitioned multi-device path: node rows sharded over the
+        # 'model' axis, halo exchange + spill all_to_all over ICI
+        from buckgnn_tpu.parallel.partitioned import (
+            partitioned_sage_aggregate,
+        )
+
+        return partitioned_sage_aggregate(x, ctx.part, aggr=aggr)
     if ctx.band is None or aggr == "max":
         # no banded data (or unsupported aggr): plain gather path
         from buckgnn_tpu.ops.sage import sage_aggregate
