@@ -236,6 +236,14 @@ def read_op2_results(op2_path: str) -> FEAResults:
 
     op2 = OP2(debug=False)
     op2.read_op2(op2_path)
+    return extract_op2_results(op2)
+
+
+def extract_op2_results(op2) -> FEAResults:
+    """Extraction logic split from the pyNastran reader so it is unit
+    testable against a mock OP2 object (the attribute layout mirrors
+    pyNastran's OP2: eigenvectors/displacements/grid_point_surface_stresses
+    /cbar_stress/grid_point_forces result dicts)."""
     buck = list(op2.eigenvectors.keys())[0]
     ev = op2.eigenvectors[buck]
     eigenvalue = float(ev.eigrs[0])
