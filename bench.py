@@ -13,6 +13,7 @@ training throughput. vs_baseline = ours / that estimate.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import time
 
@@ -67,7 +68,11 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                 key=jax.random.key(0, impl=cfg.rng_impl))
 
 
-def run_bench(setup, n_warmup=3, n_steps=20):
+def run_bench(setup, n_warmup=3, n_steps=20, chain=10):
+    """``chain`` steps ride ONE dispatch (a jitted lax.fori_loop): each
+    python->device dispatch crosses the axon relay and costs a variable
+    2-4 ms, which at ~28 ms device steps would pollute the measurement by
+    ~10-15%. Chaining is also how the production loop should run on TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -76,26 +81,41 @@ def run_bench(setup, n_warmup=3, n_steps=20):
     key = setup["key"]
     lr = jnp.float32(1e-3)
 
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_chain(state, key):
+        def body(_, carry):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state, _ = train_step(state, batch, sub, lr)
+            return state, key
+
+        return jax.lax.fori_loop(0, chain, body, (state, key))
+
+    @jax.jit
+    def eval_chain(state):
+        def body(_, s):
+            m, _ = eval_step(state, batch)
+            return s + m["loss"]
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
     # warm up compile + the first device<->host transfer of this process
     for _ in range(n_warmup):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub, lr)
-    jax.block_until_ready(metrics["loss"])
+        state, key = train_chain(state, key)
+    jax.block_until_ready(key)
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub, lr)
-    jax.block_until_ready(metrics["loss"])
-    train_dt = (time.perf_counter() - t0) / n_steps
+    for _ in range(max(n_steps // chain, 1)):
+        state, key = train_chain(state, key)
+    jax.block_until_ready(key)
+    train_dt = (time.perf_counter() - t0) / (max(n_steps // chain, 1) * chain)
 
-    m, _ = eval_step(state, batch)
-    jax.block_until_ready(m["loss"])
+    s = jax.block_until_ready(eval_chain(state))
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        m, _ = eval_step(state, batch)
-    jax.block_until_ready(m["loss"])
-    infer_dt = (time.perf_counter() - t0) / n_steps
+    for _ in range(max(n_steps // chain, 1)):
+        s = eval_chain(state)
+    jax.block_until_ready(s)
+    infer_dt = (time.perf_counter() - t0) / (max(n_steps // chain, 1) * chain)
 
     return dict(
         train_step_ms=train_dt * 1e3,
