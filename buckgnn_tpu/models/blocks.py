@@ -144,6 +144,8 @@ class SAGEConv(nn.Module):
                 rate=fused_epilogue["rate"],
                 seed=None if key is None else seed_from_key(key),
                 deterministic=fused_epilogue["deterministic"],
+                star_in=fused_epilogue.get("star_in"),
+                star_next=fused_epilogue.get("star_next", False),
             )
         if agg_ctx is not None and self.impl in (
             "banded", "banded_pallas", "banded_partitioned"

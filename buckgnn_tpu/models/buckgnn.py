@@ -181,6 +181,22 @@ class BuckGNN(nn.Module):
                     or jax.default_backend() == "tpu"
                 )
             )
+            # star threading (supernode, spill-free batches): each fused
+            # layer's backward hands its deferred supernode-star table to
+            # its neighbor in-kernel instead of an XLA [N, H] pass; the
+            # chain opens at the encoder boundary (star_source applies the
+            # first layer's table to the encoder cotangent).
+            thread = (
+                can_fuse
+                and batch.has_supernode_edges
+                and not batch.has_spill_edges
+                and batch.gcode is not None
+            )
+            star = None
+            if thread:
+                from buckgnn_tpu.ops.pallas_sage_layer import star_source
+
+                x, star = star_source(x, agg_ctx)
             for i in range(L):
                 x_prev = x
                 skip = 0 < i < L - 1
@@ -196,8 +212,12 @@ class BuckGNN(nn.Module):
                                 else self.make_rng("dropout")
                             ),
                             deterministic=deterministic,
+                            star_in=star,
+                            star_next=thread and i < L - 1,
                         ),
                     )
+                    if thread:
+                        x, star = x
                 else:
                     x = conv(x, senders, receivers, agg_ctx)
                     # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +
@@ -260,14 +280,25 @@ class BuckGNN(nn.Module):
                 edge_attr
             )
             shared = name == "EA_GNN_Shared"
+            # EA_GNN is edge-dense: each block holds [E, 2h+..] activations
+            # (~1 GB/layer at flagship shape — the reference's batch-16
+            # memory wall, README.md:59-62). Remat the blocks by DEFAULT at
+            # h >= 256 so flagship-width EA_GNN trains at batch 128 on one
+            # 16 GB chip (O(1) activation memory; RESULTS.md has the
+            # measured step time).
+            Block = (
+                nn.remat(GraphNetBlock)
+                if self.remat or h >= 256
+                else GraphNetBlock
+            )
             if shared:
-                block = GraphNetBlock(h, dtype=self.dtype, name="shared_gn_block")
+                block = Block(h, dtype=self.dtype, name="shared_gn_block")
             for i in range(L):
                 x_prev, e_prev = x, edge_attr
                 blk = (
                     block
                     if shared
-                    else GraphNetBlock(h, dtype=self.dtype, name=f"gn_block_{i}")
+                    else Block(h, dtype=self.dtype, name=f"gn_block_{i}")
                 )
                 x, edge_attr = blk(x, edge_attr, senders, receivers)
                 if 0 < i < L - 1:

@@ -403,6 +403,247 @@ def _bwd_kernel(
             tbwd_ref[...] = tacc_ref[...]
 
 
+# --------------------------------------------------------------------- #
+# merged backward kernel: tile math + band aggregation in ONE kernel.
+#
+# The split backward (tile kernel -> HBM dagg -> band kernel) round-trips
+# the [N, H] dagg through HBM (~237 MB/step/layer) and pays a kernel
+# boundary. Here dagg lives only in a 3-slot VMEM ring: grid step t runs
+# the tile math for node tile t (producing ring[t % 3]) and the band
+# aggregation for OUTPUT tile j = t-1, whose slab rows [start_j,
+# start_j + slab) are covered by ring slots j-1, j, j+1 (clamped at the
+# edges exactly like the forward slab DMA — graph/batch.py packs the band
+# with clamped starts). Grid runs n_tiles + 1 steps; the +1 drains the
+# last output tile.
+#
+# Supernode stars need GLOBAL dagg sums, which don't exist until the last
+# grid step — so this layer's star contribution to dx is NOT applied here.
+# Instead the kernel emits the star table (accumulated from dagg on the
+# fly) and the NEXT layer's backward (or graph/banded.py::star_source for
+# the first layer) adds table[gcode] to the cotangent it receives — see
+# fused_sage_layer's star threading. Scope: has_spill batches keep the
+# split backward (spill messages are gathered from a full dagg).
+# --------------------------------------------------------------------- #
+
+
+def _bwd_merged_kernel(
+    seed_ref,
+    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wl_ref, wr_ref, gacc_ref,
+    gcode_ref, tprev_ref, band_ref,
+    *outs,
+    tile, width, x_dtype, skip, thr, scale, n_tiles, has_super,
+    apply_prev, tg,
+):
+    outs = list(outs)
+    dx_ref, dwl_ref, dwr_ref, dbl_ref = outs[:4]
+    rest = outs[4:]
+    if has_super:
+        town_ref = rest.pop(0)
+    ring_ref, hold_ref = rest[:2]
+    if has_super:
+        tacc_ref = rest[2]
+    t = pl.program_id(0)
+    w2 = width // 2
+
+    @pl.when(t < n_tiles)
+    def _tile_phase():
+        dz = dz_ref[...].astype(jnp.float32)
+        if apply_prev:
+            # pending star of the NEXT layer (threaded table_prev): the
+            # cotangent this kernel received is missing table_prev[gcode]
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+            selg = jnp.where(g_iota == gcode_ref[0], jnp.float32(1),
+                             jnp.float32(0))
+            dz_eff = dz + jnp.dot(selg.astype(x_dtype), tprev_ref[...],
+                                  preferred_element_type=jnp.float32)
+        else:
+            dz_eff = dz
+        if thr is not None:
+            _seed_tile(seed_ref, t)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(dz_eff.shape),
+                                 jnp.uint32)
+            keep = bits < jnp.uint32(thr)
+            dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
+                               jnp.float32(0.0))
+        y = y_ref[...].astype(jnp.float32)
+        dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
+        inv = inv_ref[...]
+        s = _rowsum(dy * y)
+        dout = (dy - y * s) * inv
+        dout_c = dout.astype(x_dtype)
+
+        dagg = jax.lax.dot_general(
+            dout_c, wl_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x_dtype)
+        ring_ref[jax.lax.rem(t, 3)] = dagg
+        dxp = jax.lax.dot_general(
+            dout_c, wr_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if skip:
+            dxp = dxp + dz_eff
+        hold_ref[jax.lax.rem(t, 2)] = dxp.astype(x_dtype)
+
+        agg = agg_ref[...]
+        x_t = x_ref[...]
+        dwl_t = jax.lax.dot_general(
+            agg, dout_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwr_t = jax.lax.dot_general(
+            x_t, dout_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbl_t = jnp.sum(dout, axis=0, keepdims=True)
+        if has_super:
+            a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
+            sela = jnp.where(a_iota == gacc_ref[0], jnp.float32(1),
+                             jnp.float32(0))
+            tb = jnp.dot(sela.astype(x_dtype), dagg,
+                         preferred_element_type=jnp.float32)
+
+        @pl.when(t == 0)
+        def _():
+            dwl_ref[...] = dwl_t
+            dwr_ref[...] = dwr_t
+            dbl_ref[...] = dbl_t
+            if has_super:
+                tacc_ref[...] = tb
+
+        @pl.when(t > 0)
+        def _():
+            dwl_ref[...] += dwl_t
+            dwr_ref[...] += dwr_t
+            dbl_ref[...] += dbl_t
+            if has_super:
+                tacc_ref[...] += tb
+
+        if has_super:
+            @pl.when(t == n_tiles - 1)
+            def _():
+                town_ref[...] = tacc_ref[...]
+
+    @pl.when(t >= 1)
+    def _band_phase():
+        # dx for output tile j = t-1: band_j @ dagg_slab + dxp_j, with the
+        # slab assembled from the ring. Slab start = clip(j*tile - w2, 0,
+        # n - slab) (the forward's clamped windows): interior tiles read
+        # [j-1 tail w2 | j | j+1 head w2]; the first tile reads [0, slab),
+        # the last [n - slab, n).
+        j = t - 1
+        b = band_ref[0]
+        if jnp.issubdtype(b.dtype, jnp.integer):
+            b = b.astype(jnp.float32).astype(x_dtype)
+        dxp_j = hold_ref[jax.lax.rem(j, 2)]
+        base = dxp_j.astype(jnp.float32)
+        r_prev = ring_ref[jax.lax.rem(j + 2, 3)]  # (j-1) % 3, avoids -1
+        r_cur = ring_ref[jax.lax.rem(j, 3)]
+        r_next = ring_ref[jax.lax.rem(j + 1, 3)]
+
+        def dot(bm, xm, acc):
+            return acc + jnp.dot(bm, xm, preferred_element_type=jnp.float32)
+
+        if n_tiles == 2:
+            @pl.when(j == 0)
+            def _():
+                acc = dot(b[:, :tile], r_cur, base)
+                acc = dot(b[:, tile:], r_next[:width], acc)
+                dx_ref[...] = acc.astype(x_dtype)
+
+            @pl.when(j == 1)
+            def _():
+                acc = dot(b[:, :width], r_prev[tile - width:], base)
+                acc = dot(b[:, width:], r_cur, acc)
+                dx_ref[...] = acc.astype(x_dtype)
+        else:
+            @pl.when(j == 0)
+            def _():
+                acc = dot(b[:, :tile], r_cur, base)
+                acc = dot(b[:, tile:], r_next[:width], acc)
+                dx_ref[...] = acc.astype(x_dtype)
+
+            @pl.when((j > 0) & (j < n_tiles - 1))
+            def _():
+                acc = dot(b[:, :w2], r_prev[tile - w2:], base)
+                acc = dot(b[:, w2:w2 + tile], r_cur, acc)
+                acc = dot(b[:, w2 + tile:], r_next[:w2], acc)
+                dx_ref[...] = acc.astype(x_dtype)
+
+            @pl.when(j == n_tiles - 1)
+            def _():
+                acc = dot(b[:, :width], r_prev[tile - width:], base)
+                acc = dot(b[:, width:], r_cur, acc)
+                dx_ref[...] = acc.astype(x_dtype)
+
+
+def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
+                     table_prev, band, *, tile, width, skip, rate,
+                     training_rate_active, interpret, has_super,
+                     apply_prev, tg):
+    n, h = dz.shape
+    n_tiles = n // tile
+    assert n_tiles >= 2, "merged backward needs >= 2 node tiles"
+    thr = dropout_threshold(rate) if training_rate_active else None
+    scale = dropout_scale(rate) if thr is not None else None
+    if not has_super:
+        gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
+    if not apply_prev:
+        gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        table_prev = jnp.zeros((tg, h), x.dtype)
+    kern = functools.partial(
+        _bwd_merged_kernel, tile=tile, width=width, x_dtype=x.dtype,
+        skip=skip, thr=thr, scale=scale, n_tiles=n_tiles,
+        has_super=has_super, apply_prev=apply_prev, tg=tg,
+    )
+    last = n_tiles - 1
+    in_blk = pl.BlockSpec((tile, h), lambda t: (jnp.minimum(t, last), 0),
+                          memory_space=pltpu.VMEM)
+    in_blkv = pl.BlockSpec((tile, 1), lambda t: (jnp.minimum(t, last), 0),
+                           memory_space=pltpu.VMEM)
+    in_gacc = pl.BlockSpec((1, 1, tile),
+                           lambda t: (jnp.minimum(t, last), 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_gcode = pl.BlockSpec((1, tile, 1),
+                            lambda t: (jnp.minimum(t, last), 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_band = pl.BlockSpec((1, tile, tile + width),
+                           lambda t: (jnp.maximum(t - 1, 0), 0, 0),
+                           memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((tg, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    out_dx = pl.BlockSpec((tile, h), lambda t: (jnp.maximum(t - 1, 0), 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = [out_dx, full, full, row]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h), x.dtype),      # dx (band + direct)
+        jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_l
+        jax.ShapeDtypeStruct((h, h), jnp.float32),  # dW_r
+        jax.ShapeDtypeStruct((1, h), jnp.float32),  # db_l
+    ]
+    if has_super:
+        out_specs.append(tbl)
+        out_shape.append(jax.ShapeDtypeStruct((tg, h), jnp.float32))
+    scratch = [
+        pltpu.VMEM((3, tile, h), x.dtype),  # dagg ring
+        pltpu.VMEM((2, tile, h), x.dtype),  # dxp hold
+    ]
+    if has_super:
+        scratch.append(pltpu.VMEM((tg, h), jnp.float32))
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  in_blk, in_blk, in_blkv, in_blk, in_blk, full, full,
+                  in_gacc, in_gcode, tbl, in_band],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(seed, dz, y, inv, agg, x, w_l, w_r, gacc, gcode, table_prev, band)
+
+
 def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
                    rate, training_rate_active, interpret, has_super, tg):
     n, h = dz.shape
@@ -483,24 +724,34 @@ def _super_tables(x, node_graph, node_mask, sn, g_cap, tg):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                 spill_hi, spill_s, seed, gcode, gacc, table):
-    """Returns z.
+                 spill_hi, spill_s, seed, gcode, gacc, table, t_in):
+    """Returns (z, t_out).
 
     ``table`` is the layer's supernode correction table — _super_tables(x),
     a pure linear function of x built OUTSIDE this boundary. It carries
     ZERO cotangent by declaration: the star operator is symmetric, so the
     full gradient of the star path is already delivered through the
-    backward's total-A application to the cotangent (see _fused_layer_bwd,
-    whose own tables are accumulated from dagg inside the tile kernel).
+    backward's total-A application to the cotangent.
+
+    ``t_in``/``t_out`` are ghost edges carrying NO forward value (t_out is
+    zeros): in reverse mode the cotangent of t_in is THIS layer's backward
+    star table (the part of dx the merged backward defers — it needs
+    global dagg sums that only exist after its last grid step), and the
+    cotangent of t_out is the NEXT layer's deferred table, which this
+    backward adds (as table_prev[gcode], one in-kernel selection matmul)
+    to the cotangent it received before using it. The model threads t_out
+    of layer i into t_in of layer i+1; star_source closes the chain at the
+    encoder boundary. Split (has_spill) backward applies its own star
+    inside the band kernel instead, so its t_in cotangent is zeros.
     """
     out, _ = _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off,
                               spill_lo, spill_hi, spill_s, seed, gcode,
-                              gacc, table)
+                              gacc, table, t_in)
     return out
 
 
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                     spill_hi, spill_s, seed, gcode, gacc, table):
+                     spill_hi, spill_s, seed, gcode, gacc, table, t_in):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
     outs = _call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
@@ -510,56 +761,92 @@ def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
         rate=static["rate"], training=static["training"],
         interpret=static["interpret"], has_super=static["has_super"],
     )
+    t_out = jnp.zeros_like(t_in)
     if not static["training"]:
         (z,) = outs
-        return z, None
+        return (z, t_out), None
     z, y, inv, agg = outs
-    return z, (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo,
-               spill_hi, spill_s, seed, b_l, gcode, gacc, table)
+    return (z, t_out), (x, w_l, w_r, y, inv, agg, band, spill_off,
+                        spill_lo, spill_hi, spill_s, seed, b_l, gcode,
+                        gacc, table, t_in)
 
 
-def _fused_layer_bwd(static, res, dz):
+def _star_apply(ct, table, gcode_flat, tg):
+    """XLA gather-add of a deferred star table: ct + table[gcode]. Valid
+    codes are < tg (pack writes g or G+g, both < 2G <= tg); the sentinel is
+    exactly tg, so it selects nothing."""
+    t = table.astype(ct.dtype)
+    corr = jnp.where(
+        (gcode_flat < tg)[:, None],
+        t[jnp.clip(gcode_flat, 0, tg - 1)],
+        jnp.zeros((), ct.dtype),
+    )
+    return ct + corr
+
+
+def _fused_layer_bwd(static, res, cts):
     from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
+    dz, dt_out = cts
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
-     spill_s, seed, b_l, gcode, gacc, table) = res
+     spill_s, seed, b_l, gcode, gacc, table, t_in) = res
     tg = table.shape[0] if static["has_super"] else 8
-    bwd_outs = _call_bwd_tile(
-        dz, y, inv, agg, x, w_l, w_r, seed, gacc,
-        tile=static["tile"], skip=static["skip"], rate=static["rate"],
-        training_rate_active=static["training"] and static["rate"] > 0.0,
-        interpret=static["interpret"], has_super=static["has_super"], tg=tg,
-    )
-    dagg, dxp, dwl, dwr, dbl = bwd_outs[:5]
-    # dx = dxp + A @ dagg — the TOTAL adjacency (band + spill + supernode
-    # stars) is symmetric (both edge directions materialized), so the
-    # backward band/spill/star aggregation is the same operator applied to
-    # the cotangent (ops/banded.py). The dxp accumulator and the supernode
-    # tables (accumulated from dagg inside the tile kernel above) ride
-    # inside the band kernel, so backward touches each [N, H] operand
-    # exactly once.
-    spill_kw = (
-        dict(spill_offsets=spill_off, spill_lo=spill_lo, spill_hi=spill_hi,
-             spill_messages=dagg[spill_s])
-        if static["has_spill"]
-        else {}
-    )
-    super_kw = (
-        dict(gcode=gcode, table=bwd_outs[5].astype(x.dtype))
-        if static["has_super"]
-        else {}
-    )
-    dx = pallas_banded_matmul(
-        band, dagg, static["tile"], static["width"],
-        interpret=static["interpret"], out_dtype=x.dtype, acc=dxp,
-        **spill_kw, **super_kw,
-    )
+    has_super = static["has_super"]
+    apply_prev = has_super and static["apply_prev"]
+    rate_active = static["training"] and static["rate"] > 0.0
+
+    if not static["has_spill"]:
+        # merged backward: dagg never leaves VMEM; own star deferred into
+        # the t_in cotangent
+        bwd_outs = _call_bwd_merged(
+            dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
+            dt_out.astype(x.dtype) if apply_prev else dt_out,
+            band,
+            tile=static["tile"], width=static["width"],
+            skip=static["skip"], rate=static["rate"],
+            training_rate_active=rate_active,
+            interpret=static["interpret"], has_super=has_super,
+            apply_prev=apply_prev, tg=tg,
+        )
+        dx, dwl, dwr, dbl = bwd_outs[:4]
+        dt_in = bwd_outs[4] if has_super else jnp.zeros_like(t_in)
+        if has_super and not static["thread_star"]:
+            # standalone use: nothing downstream consumes t_in's
+            # cotangent, so fold the own star back into dx here
+            dx = _star_apply(dx, dt_in,
+                             gcode.reshape(-1), tg)
+            dt_in = jnp.zeros_like(t_in)
+    else:
+        # split backward (spill messages need the full dagg in HBM); the
+        # own star rides the band kernel as before, nothing is deferred
+        if apply_prev:
+            dz = _star_apply(dz, dt_out, gcode.reshape(-1), tg)
+        bwd_outs = _call_bwd_tile(
+            dz, y, inv, agg, x, w_l, w_r, seed, gacc,
+            tile=static["tile"], skip=static["skip"], rate=static["rate"],
+            training_rate_active=rate_active,
+            interpret=static["interpret"], has_super=has_super, tg=tg,
+        )
+        dagg, dxp, dwl, dwr, dbl = bwd_outs[:5]
+        spill_kw = dict(spill_offsets=spill_off, spill_lo=spill_lo,
+                        spill_hi=spill_hi, spill_messages=dagg[spill_s])
+        super_kw = (
+            dict(gcode=gcode, table=bwd_outs[5].astype(x.dtype))
+            if has_super
+            else {}
+        )
+        dx = pallas_banded_matmul(
+            band, dagg, static["tile"], static["width"],
+            interpret=static["interpret"], out_dtype=x.dtype, acc=dxp,
+            **spill_kw, **super_kw,
+        )
+        dt_in = jnp.zeros_like(t_in)
     return (dx, dwl.astype(w_l.dtype), dbl.astype(b_l.dtype),
             dwr.astype(w_r.dtype), _zero_tangent(band),
             _zero_tangent(spill_off), _zero_tangent(spill_lo),
             _zero_tangent(spill_hi), _zero_tangent(spill_s),
             _zero_tangent(seed), _zero_tangent(gcode),
-            _zero_tangent(gacc), jnp.zeros_like(table))
+            _zero_tangent(gacc), jnp.zeros_like(table), dt_in)
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
@@ -582,6 +869,37 @@ def supports_fused_layer(ctx, x, aggr: str, normalize: bool) -> bool:
     )
 
 
+def star_source(x: jnp.ndarray, ctx) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Open a star-threading chain at the encoder boundary: returns
+    ``(x, t0)`` where t0 is a ghost [tg, H] zeros whose COTANGENT (the
+    first fused layer's deferred backward star table) is folded into dx
+    with one XLA gather-add — the only per-step XLA star application left
+    when the whole stack threads its tables in-kernel."""
+    batch = ctx.batch
+    tg = _round8(2 * batch.n_graph_cap)
+    gcode_flat = batch.gcode.reshape(-1)
+    return _star_source((tg,), x, gcode_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _star_source(static, x, gcode_flat):
+    return x, jnp.zeros((static[0], x.shape[1]), jnp.float32)
+
+
+def _star_source_fwd(static, x, gcode_flat):
+    return _star_source(static, x, gcode_flat), gcode_flat
+
+
+def _star_source_bwd(static, gcode_flat, cts):
+    dx, dt = cts
+    return _star_apply(dx, dt, gcode_flat, static[0]), _zero_tangent(
+        gcode_flat
+    )
+
+
+_star_source.defvjp(_star_source_fwd, _star_source_bwd)
+
+
 def fused_sage_layer(
     x: jnp.ndarray,
     w_l: jnp.ndarray,
@@ -593,17 +911,33 @@ def fused_sage_layer(
     rate: float,
     seed: jnp.ndarray | None,
     deterministic: bool,
-) -> jnp.ndarray:
+    star_in: jnp.ndarray | None = None,
+    star_next: bool = False,
+):
     """One full shared-SAGE layer: conv + normalize + relu (+skip) + dropout.
 
     ``seed``: two int32 words (ops/pallas_epilogue.seed_from_key); may be
     None when deterministic. Requires ``supports_fused_layer(...)``.
+
+    Star threading (supernode batches, spill-free): pass ``star_in`` (the
+    previous layer's star_out, or ``star_source(x0, ctx)[1]`` for the
+    first layer) to get ``(z, star_out)`` back, and set ``star_next=True``
+    on every layer whose star_out the NEXT layer consumes (i.e. all but
+    the last). The backward then keeps dagg entirely in VMEM (merged
+    kernel) and hands each layer's star correction to its neighbor as a
+    threaded table instead of an XLA pass over [N, H]. Without
+    ``star_in``, returns z alone with self-contained gradients.
     """
     batch = ctx.batch
     training = not deterministic
     has_super = batch.has_supernode_edges
     g_cap = batch.n_graph_cap
     tg = _round8(2 * g_cap)
+    thread_star = star_in is not None
+    if thread_star and (not has_super or batch.has_spill_edges):
+        raise ValueError(
+            "star threading requires a supernode batch without spill edges"
+        )
     static = dict(
         tile=batch.band_tile,
         width=batch.band_width,
@@ -613,6 +947,8 @@ def fused_sage_layer(
         rate=float(rate) if training else 0.0,
         training=training,
         interpret=jax.default_backend() == "cpu",
+        thread_star=thread_star,
+        apply_prev=bool(star_next),
     )
     # dict isn't hashable for nondiff_argnums — freeze it
     static = tuple(sorted(static.items()))
@@ -640,17 +976,27 @@ def fused_sage_layer(
             gacc = jnp.where(
                 is_super, g, jnp.where(batch.node_mask, g_cap + g, tg)
             ).astype(jnp.int32).reshape(n_tiles, 1, batch.band_tile)
-        table = _super_tables(x, batch.node_graph, batch.node_mask,
-                              batch.supernode_index, g_cap, tg)
+        # stop_gradient: the custom VJP already delivers the ENTIRE star
+        # gradient through the symmetric total-adjacency application (the
+        # table arg's cotangent is zeros by declaration). Without it the
+        # zero cotangent still flows through this build's TRANSPOSE —
+        # XLA cannot fold scatter(zeros)/dot(zeros) chains and materializes
+        # ~4.7 ms/step of pure zero arithmetic (measured, 6L flagship).
+        table = _super_tables(jax.lax.stop_gradient(x), batch.node_graph,
+                              batch.node_mask, batch.supernode_index,
+                              g_cap, tg)
     else:
         gcode = jnp.zeros((0,), jnp.int32)
         gacc = jnp.zeros((0,), jnp.int32)
         table = jnp.zeros((8, x.shape[1]), x.dtype)
-    return _fused_layer(
+    t_in = star_in if thread_star else jnp.zeros((8, x.shape[1]),
+                                                 jnp.float32)
+    z, t_out = _fused_layer(
         _StaticDict(static), x, w_l, b_l.reshape(1, -1), w_r, ctx.band,
         batch.spill_offsets, batch.spill_lo, batch.spill_hi,
-        batch.spill_senders, seed, gcode, gacc, table,
+        batch.spill_senders, seed, gcode, gacc, table, t_in,
     )
+    return (z, t_out) if thread_star else z
 
 
 class _StaticDict(dict):

@@ -96,6 +96,53 @@ def test_fused_layer_grads_match(rng, skip, supernode):
         )
 
 
+def test_threaded_star_chain_grads_match(rng):
+    """A 3-layer chain with star threading (star_source + star_in /
+    star_next: the merged backward defers each layer's supernode-star
+    correction into its neighbor's kernel) == the unfused composition,
+    forward AND backward."""
+    batch, _ = _packed(seed=5, supernode=True)
+    assert batch.has_supernode_edges and not batch.has_spill_edges
+    ctx = make_agg_context(batch, use_pallas=True)
+    h = 128
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    ws = [
+        tuple(
+            jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
+            for s in ((h, h), (h,), (h, h))
+        )
+        for _ in range(3)
+    ]
+    mask = jnp.asarray(batch.node_mask, jnp.float32)[:, None]
+    probe = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+
+    from buckgnn_tpu.ops.pallas_sage_layer import star_source
+
+    def loss_fused(x, ws):
+        z, star = star_source(x, ctx)
+        for i, (w_l, b_l, w_r) in enumerate(ws):
+            z, star = fused_sage_layer(
+                z, w_l, b_l, w_r, ctx, skip=i == 1, rate=0.0,
+                seed=jnp.zeros((2,), jnp.int32), deterministic=False,
+                star_in=star, star_next=i < 2,
+            )
+        return jnp.sum(z * mask * probe)
+
+    def loss_ref(x, ws):
+        z = x
+        for i, (w_l, b_l, w_r) in enumerate(ws):
+            z = _composition(z, w_l, b_l, w_r, ctx, skip=i == 1)
+        return jnp.sum(z * mask * probe)
+
+    assert np.allclose(loss_fused(x, ws), loss_ref(x, ws), rtol=1e-4)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(x, ws)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(x, ws)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("supernode", [False, True])
 def test_model_fused_path_matches_xla(rng, supernode):
     """End-to-end: the flagship model with the fused layer engaged (eval,
