@@ -146,6 +146,8 @@ class SAGEConv(nn.Module):
                 deterministic=fused_epilogue["deterministic"],
                 star_in=fused_epilogue.get("star_in"),
                 star_next=fused_epilogue.get("star_next", False),
+                table_in=fused_epilogue.get("table_in"),
+                emit_table=fused_epilogue.get("emit_table", False),
             )
         if agg_ctx is not None and self.impl in (
             "banded", "banded_pallas", "banded_partitioned"

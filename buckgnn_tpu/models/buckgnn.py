@@ -214,10 +214,16 @@ class BuckGNN(nn.Module):
                             deterministic=deterministic,
                             star_in=star,
                             star_next=thread and i < L - 1,
+                            # fwd-table threading (table_in/emit_table)
+                            # measured SLOWER: the in-kernel accumulation
+                            # costs +0.31 ms/layer on the fwd critical
+                            # path vs ~0.16 for the XLA build it replaces
+                            # (profile 2026-08-18); keep the XLA
+                            # stop_gradient build instead
                         ),
                     )
                     if thread:
-                        x, star = x
+                        x, star, _ = x
                 else:
                     x = conv(x, senders, receivers, agg_ctx)
                     # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +

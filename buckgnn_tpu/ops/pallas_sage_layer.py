@@ -118,19 +118,22 @@ def _fwd_kernel(
     spill_off_ref, seed_ref,
     # VMEM blocks
     band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref,
-    table_ref,
+    table_ref, gacc_ref,
     # ANY (HBM)
     x_hbm, msgs_hbm,
     # outputs
     *outs,
     # scratch appended after outputs by pallas_call
     tile, width, n_nodes, n_tiles, x_dtype, has_spill, n_spill,
-    skip, thr, scale, training, has_super, tg, unroll,
+    skip, thr, scale, training, has_super, tg, unroll, emit_table,
 ):
     outs = list(outs)
     z_ref = outs.pop(0)
     if training:
         y_ref, inv_ref, agg_ref = outs.pop(0), outs.pop(0), outs.pop(0)
+    if emit_table:
+        ftab_ref = outs.pop(0)
+        facc_ref = outs.pop()  # scratch accumulator (appended last)
     slab_ref, sem, msg_ref, msem = outs
     p = pl.program_id(0)
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
@@ -163,6 +166,11 @@ def _fwd_kernel(
             def _():
                 start_all(i, jax.lax.rem(i, nbuf))
 
+    # two passes over the unrolled tiles: all MXU work first, then the
+    # VPU epilogues — gives Mosaic's scheduler independent matmul and
+    # vector chains to interleave instead of a strict
+    # matmul->epilogue->matmul sequence per tile
+    staged = []
     for j in range(unroll):
         t = base + j
         slot = jax.lax.rem(t, nbuf)
@@ -206,11 +214,11 @@ def _fwd_kernel(
             + jnp.dot(x_tile, wr_ref[...], preferred_element_type=jnp.float32)
             + bl_ref[...].astype(jnp.float32)
         )
+        staged.append((t, out, agg, x_tile))
 
-        # row-sum optionally via an MXU ones-matvec: the VPU lane-dimension
-        # reduce runs ~10x off peak (~0.9 us per tile — the kernel's grid
-        # steps do not overlap VPU with MXU, so that lands straight on the
-        # critical path; cf. models/blocks.py::_l2n_bwd)
+    for j, (t, out, agg, x_tile) in enumerate(staged):
+        # row-sum stays on the VPU (the MXU ones-matvec variant measured
+        # slower — see ROWSUM_MXU)
         sq = _rowsum(out * out)
         inv = jax.lax.rsqrt(jnp.maximum(sq, jnp.float32(1e-24)))
         y = out * inv
@@ -225,22 +233,48 @@ def _fwd_kernel(
             r = jnp.where(keep, r * jnp.float32(scale), jnp.float32(0.0))
 
         row = pl.ds(j * tile, tile)
-        z_ref[row, :] = r.astype(x_dtype)
+        z = r.astype(x_dtype)
+        z_ref[row, :] = z
         if training:
             y_ref[row, :] = y.astype(x_dtype)
             inv_ref[row, :] = inv
             agg_ref[row, :] = agg
+        if emit_table:
+            # accumulate the NEXT layer's star table from z on the fly
+            # (_super_tables semantics: gacc codes put the supernode row
+            # into [0, G) and real non-super rows into [G, 2G)) — kills
+            # the per-layer XLA table build between kernels
+            a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
+            sela = jnp.where(a_iota == gacc_ref[j], jnp.float32(1),
+                             jnp.float32(0))
+            tb = jnp.dot(sela.astype(x_dtype), z,
+                         preferred_element_type=jnp.float32)
+
+            @pl.when(t == 0)
+            def _():
+                facc_ref[...] = tb
+
+            @pl.when(t > 0)
+            def _():
+                facc_ref[...] += tb
+
+            @pl.when(t == n_tiles - 1)
+            def _():
+                ftab_ref[...] = facc_ref[...]
 
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
-              spill_messages, seed, gcode, table, *, tile, width,
-              has_spill, skip, rate, training, interpret, has_super):
+              spill_messages, seed, gcode, table, gacc, *, tile, width,
+              has_spill, skip, rate, training, interpret, has_super,
+              emit_table):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
     if not has_super:
         gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
         table = jnp.zeros((8, h), x.dtype)
+    if not emit_table:
+        gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
     tg = table.shape[0]
     n_spill = spill_messages.shape[0] if has_spill else SPILL_CHUNK
     if not has_spill:
@@ -256,7 +290,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         x_dtype=x.dtype, has_spill=has_spill, n_spill=n_spill, skip=skip,
         thr=thr, scale=scale, training=training, has_super=has_super, tg=tg,
-        unroll=unroll,
+        unroll=unroll, emit_table=emit_table,
     )
     out_block = pl.BlockSpec((unroll * tile, h), lambda p: (p, 0),
                              memory_space=pltpu.VMEM)
@@ -274,7 +308,19 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
                          memory_space=pltpu.VMEM),
             out_block,
         ]
+    if emit_table:
+        out_shapes.append(jax.ShapeDtypeStruct((tg, h), jnp.float32))
+        out_specs.append(pl.BlockSpec((tg, h), lambda p: (0, 0),
+                                      memory_space=pltpu.VMEM))
     nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
+    scratch = [
+        pltpu.VMEM((nbuf, slab, h), x.dtype),
+        pltpu.SemaphoreType.DMA((nbuf,)),
+        pltpu.VMEM((nbuf, SPILL_CHUNK, h), x.dtype),
+        pltpu.SemaphoreType.DMA((nbuf,)),
+    ]
+    if emit_table:
+        scratch.append(pltpu.VMEM((tg, h), jnp.float32))
     outs = pl.pallas_call(
         kern,
         grid=(n_tiles // unroll,),
@@ -297,20 +343,17 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
                          memory_space=pltpu.VMEM),  # gcode
             pl.BlockSpec((tg, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # table
+            pl.BlockSpec((unroll, 1, tile), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),  # gacc
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, slab, h), x.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.VMEM((nbuf, SPILL_CHUNK, h), x.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(spill_off, seed, band, spill_lo, spill_hi, w_l, b_l, w_r, gcode,
-      table, x, spill_messages)
+      table, gacc, x, spill_messages)
     return outs
 
 
@@ -428,7 +471,7 @@ def _bwd_kernel(
 
 def _bwd_merged_kernel(
     seed_ref,
-    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wl_ref, wr_ref, gacc_ref,
+    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wlr_ref, gacc_ref,
     gcode_ref, tprev_ref, band_ref,
     *outs,
     tile, width, x_dtype, skip, thr, scale, n_tiles, has_super,
@@ -472,29 +515,25 @@ def _bwd_merged_kernel(
         dout = (dy - y * s) * inv
         dout_c = dout.astype(x_dtype)
 
-        dagg = jax.lax.dot_general(
-            dout_c, wl_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x_dtype)
-        ring_ref[jax.lax.rem(t, 3)] = dagg
-        dxp = jax.lax.dot_general(
-            dout_c, wr_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # dagg | dxp as ONE [T, H] @ [H, 2H] matmul against the
+        # pre-concatenated [W_l^T | W_r^T] (fewer MXU issues per tile)
+        h = dout_c.shape[1]
+        both = jnp.dot(dout_c, wlr_ref[...],
+                       preferred_element_type=jnp.float32)
+        dagg = both[:, :h].astype(x_dtype)
+        ring_ref[jax.lax.rem(t, 4)] = dagg
+        dxp = both[:, h:]
         if skip:
             dxp = dxp + dz_eff
-        hold_ref[jax.lax.rem(t, 2)] = dxp.astype(x_dtype)
+        hold_ref[jax.lax.rem(t, 3)] = dxp.astype(x_dtype)
 
-        agg = agg_ref[...]
-        x_t = x_ref[...]
-        dwl_t = jax.lax.dot_general(
-            agg, dout_c, (((0,), (0,)), ((), ())),
+        # dW_l | dW_r as one contraction over the tile rows
+        lhs = jnp.concatenate([agg_ref[...], x_ref[...]], axis=1)
+        dw_t = jax.lax.dot_general(
+            lhs, dout_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dwr_t = jax.lax.dot_general(
-            x_t, dout_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dwl_t, dwr_t = dw_t[:h], dw_t[h:]
         dbl_t = jnp.sum(dout, axis=0, keepdims=True)
         if has_super:
             a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
@@ -524,22 +563,24 @@ def _bwd_merged_kernel(
             def _():
                 town_ref[...] = tacc_ref[...]
 
-    @pl.when(t >= 1)
+    @pl.when(t >= 2)
     def _band_phase():
-        # dx for output tile j = t-1: band_j @ dagg_slab + dxp_j, with the
-        # slab assembled from the ring. Slab start = clip(j*tile - w2, 0,
-        # n - slab) (the forward's clamped windows): interior tiles read
-        # [j-1 tail w2 | j | j+1 head w2]; the first tile reads [0, slab),
-        # the last [n - slab, n).
-        j = t - 1
+        # dx for output tile j = t-2 (LAG 2: tile j+1's dagg landed in the
+        # ring at step t-1, so this phase has NO dependency on this step's
+        # tile phase and the MXU pipeline never stalls between the two):
+        # band_j @ dagg_slab + dxp_j, slab assembled from the ring. Slab
+        # start = clip(j*tile - w2, 0, n - slab) (the forward's clamped
+        # windows): interior tiles read [j-1 tail w2 | j | j+1 head w2];
+        # the first tile reads [0, slab), the last [n - slab, n).
+        j = t - 2
         b = band_ref[0]
         if jnp.issubdtype(b.dtype, jnp.integer):
             b = b.astype(jnp.float32).astype(x_dtype)
-        dxp_j = hold_ref[jax.lax.rem(j, 2)]
+        dxp_j = hold_ref[jax.lax.rem(j, 3)]
         base = dxp_j.astype(jnp.float32)
-        r_prev = ring_ref[jax.lax.rem(j + 2, 3)]  # (j-1) % 3, avoids -1
-        r_cur = ring_ref[jax.lax.rem(j, 3)]
-        r_next = ring_ref[jax.lax.rem(j + 1, 3)]
+        r_prev = ring_ref[jax.lax.rem(j + 3, 4)]  # (j-1) % 4, avoids -1
+        r_cur = ring_ref[jax.lax.rem(j, 4)]
+        r_next = ring_ref[jax.lax.rem(j + 1, 4)]
 
         def dot(bm, xm, acc):
             return acc + jnp.dot(bm, xm, preferred_element_type=jnp.float32)
@@ -584,6 +625,7 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     n, h = dz.shape
     n_tiles = n // tile
     assert n_tiles >= 2, "merged backward needs >= 2 node tiles"
+    # lag-2 software pipeline: grid T+2, dagg ring of 4, dxp hold of 3
     thr = dropout_threshold(rate) if training_rate_active else None
     scale = dropout_scale(rate) if thr is not None else None
     if not has_super:
@@ -608,12 +650,14 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
                             lambda t: (jnp.minimum(t, last), 0, 0),
                             memory_space=pltpu.VMEM)
     in_band = pl.BlockSpec((1, tile, tile + width),
-                           lambda t: (jnp.maximum(t - 1, 0), 0, 0),
+                           lambda t: (jnp.maximum(t - 2, 0), 0, 0),
                            memory_space=pltpu.VMEM)
     full = pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    wide = pl.BlockSpec((h, 2 * h), lambda t: (0, 0),
+                        memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
     tbl = pl.BlockSpec((tg, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    out_dx = pl.BlockSpec((tile, h), lambda t: (jnp.maximum(t - 1, 0), 0),
+    out_dx = pl.BlockSpec((tile, h), lambda t: (jnp.maximum(t - 2, 0), 0),
                           memory_space=pltpu.VMEM)
     out_specs = [out_dx, full, full, row]
     out_shape = [
@@ -626,22 +670,24 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
         out_specs.append(tbl)
         out_shape.append(jax.ShapeDtypeStruct((tg, h), jnp.float32))
     scratch = [
-        pltpu.VMEM((3, tile, h), x.dtype),  # dagg ring
-        pltpu.VMEM((2, tile, h), x.dtype),  # dxp hold
+        pltpu.VMEM((4, tile, h), x.dtype),  # dagg ring
+        pltpu.VMEM((3, tile, h), x.dtype),  # dxp hold
     ]
     if has_super:
         scratch.append(pltpu.VMEM((tg, h), jnp.float32))
+    # [W_l^T | W_r^T] pre-concatenated so dagg and dxp ride one matmul
+    wlr = jnp.concatenate([w_l.T, w_r.T], axis=1)
     return pl.pallas_call(
         kern,
-        grid=(n_tiles + 1,),
+        grid=(n_tiles + 2,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  in_blk, in_blk, in_blkv, in_blk, in_blk, full, full,
+                  in_blk, in_blk, in_blkv, in_blk, in_blk, wide,
                   in_gacc, in_gcode, tbl, in_band],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(seed, dz, y, inv, agg, x, w_l, w_r, gacc, gcode, table_prev, band)
+    )(seed, dz, y, inv, agg, x, wlr, gacc, gcode, table_prev, band)
 
 
 def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
@@ -725,7 +771,13 @@ def _super_tables(x, node_graph, node_mask, sn, g_cap, tg):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
                  spill_hi, spill_s, seed, gcode, gacc, table, t_in):
-    """Returns (z, t_out).
+    """Returns (z, t_out, ftab).
+
+    ``ftab`` is the NEXT layer's forward star table, accumulated from z
+    inside the kernel when static["emit_table"] (otherwise a dummy): the
+    model threads it into the next layer's ``table`` instead of an XLA
+    _super_tables build. Its cotangent is ignored — the consumer declares
+    the table input's cotangent zero (see ``table`` below).
 
     ``table`` is the layer's supernode correction table — _super_tables(x),
     a pure linear function of x built OUTSIDE this boundary. It carries
@@ -753,22 +805,26 @@ def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
                      spill_hi, spill_s, seed, gcode, gacc, table, t_in):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
+    emit = static["emit_table"]
     outs = _call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
-        gcode, table,
+        gcode, table, gacc,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"],
         interpret=static["interpret"], has_super=static["has_super"],
+        emit_table=emit,
     )
+    outs = list(outs)
     t_out = jnp.zeros_like(t_in)
+    ftab = outs.pop() if emit else jnp.zeros((8, x.shape[1]), jnp.float32)
     if not static["training"]:
         (z,) = outs
-        return (z, t_out), None
+        return (z, t_out, ftab), None
     z, y, inv, agg = outs
-    return (z, t_out), (x, w_l, w_r, y, inv, agg, band, spill_off,
-                        spill_lo, spill_hi, spill_s, seed, b_l, gcode,
-                        gacc, table, t_in)
+    return (z, t_out, ftab), (x, w_l, w_r, y, inv, agg, band, spill_off,
+                              spill_lo, spill_hi, spill_s, seed, b_l,
+                              gcode, gacc, table, t_in)
 
 
 def _star_apply(ct, table, gcode_flat, tg):
@@ -787,7 +843,7 @@ def _star_apply(ct, table, gcode_flat, tg):
 def _fused_layer_bwd(static, res, cts):
     from buckgnn_tpu.ops.pallas_banded import pallas_banded_matmul
 
-    dz, dt_out = cts
+    dz, dt_out, _dftab = cts  # ftab's consumer declares its cotangent zero
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
      spill_s, seed, b_l, gcode, gacc, table, t_in) = res
     tg = table.shape[0] if static["has_super"] else 8
@@ -913,6 +969,8 @@ def fused_sage_layer(
     deterministic: bool,
     star_in: jnp.ndarray | None = None,
     star_next: bool = False,
+    table_in: jnp.ndarray | None = None,
+    emit_table: bool = False,
 ):
     """One full shared-SAGE layer: conv + normalize + relu (+skip) + dropout.
 
@@ -938,6 +996,8 @@ def fused_sage_layer(
         raise ValueError(
             "star threading requires a supernode batch without spill edges"
         )
+    if emit_table and not has_super:
+        raise ValueError("emit_table requires a supernode batch")
     static = dict(
         tile=batch.band_tile,
         width=batch.band_width,
@@ -949,6 +1009,7 @@ def fused_sage_layer(
         interpret=jax.default_backend() == "cpu",
         thread_star=thread_star,
         apply_prev=bool(star_next),
+        emit_table=bool(emit_table),
     )
     # dict isn't hashable for nondiff_argnums — freeze it
     static = tuple(sorted(static.items()))
@@ -991,12 +1052,12 @@ def fused_sage_layer(
         table = jnp.zeros((8, x.shape[1]), x.dtype)
     t_in = star_in if thread_star else jnp.zeros((8, x.shape[1]),
                                                  jnp.float32)
-    z, t_out = _fused_layer(
+    z, t_out, ftab = _fused_layer(
         _StaticDict(static), x, w_l, b_l.reshape(1, -1), w_r, ctx.band,
         batch.spill_offsets, batch.spill_lo, batch.spill_hi,
         batch.spill_senders, seed, gcode, gacc, table, t_in,
     )
-    return (z, t_out) if thread_star else z
+    return (z, t_out, ftab) if thread_star else z
 
 
 class _StaticDict(dict):

@@ -282,8 +282,17 @@ def train_gnn(
         tile, width = select_band_geometry(
             list(train_data) + list(val_data)
         )
-        n_node_cap = ((max(n_node_cap, tile + width) + 2 * tile - 1)
-                      // (2 * tile)) * (2 * tile)
+        align = 2 * tile
+        if cfg.segment_impl == "banded_partitioned":
+            # node capacity must split into tile-aligned shard ranges
+            mesh = jax.sharding.get_abstract_mesh()
+            n_shards = (mesh.shape["model"]
+                        if "model" in mesh.axis_names else 1)
+            import math
+
+            align = math.lcm(align, n_shards * tile)
+        n_node_cap = ((max(n_node_cap, tile + width) + align - 1)
+                      // align) * align
         band_kw = dict(band_width=width, band_tile=tile, rcm=True,
                        materialize_band=cfg.materialize_band)
 
@@ -301,10 +310,31 @@ def train_gnn(
                                             normalizer)
 
     def pack(data, shuffle, seed):
-        return list(
+        batches = list(
             batch_iterator(data, cfg.batch_size, n_node_cap, n_edge_cap,
                            shuffle=shuffle, seed=seed, **band_kw)
         )
+        if cfg.segment_impl == "banded_partitioned":
+            # attach edge-partitioned shards (parallel/partitioned.py) for
+            # the 'model' axis of the ambient mesh (jax.set_mesh); one
+            # shard otherwise. Caps/flags are unified across the run so
+            # every batch shares a compiled shape.
+            from buckgnn_tpu.parallel.partitioned import partition_batch
+
+            mesh = jax.sharding.get_abstract_mesh()
+            n_shards = (mesh.shape["model"]
+                        if "model" in mesh.axis_names else 1)
+            pbs = [partition_batch(b, n_shards) for b in batches]
+            s_cap = max(int(pb.send_idx.shape[-1]) for pb in pbs)
+            e_cap = max(int(pb.recv_perm.shape[-1]) for pb in pbs)
+            any_spill = any(pb.has_spill for pb in pbs)
+            batches = [
+                b.replace(part=partition_batch(
+                    b, n_shards, spill_cap=s_cap, recv_cap=e_cap,
+                    force_spill=any_spill))
+                for b in batches
+            ]
+        return batches
 
     train_batches = pack(train_data, True, cfg.seed)
     val_batches = pack(val_data, False, 0)

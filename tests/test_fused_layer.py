@@ -121,11 +121,13 @@ def test_threaded_star_chain_grads_match(rng):
 
     def loss_fused(x, ws):
         z, star = star_source(x, ctx)
+        table = None
         for i, (w_l, b_l, w_r) in enumerate(ws):
-            z, star = fused_sage_layer(
+            z, star, table = fused_sage_layer(
                 z, w_l, b_l, w_r, ctx, skip=i == 1, rate=0.0,
                 seed=jnp.zeros((2,), jnp.int32), deterministic=False,
                 star_in=star, star_next=i < 2,
+                table_in=table, emit_table=i < 2,
             )
         return jnp.sum(z * mask * probe)
 
