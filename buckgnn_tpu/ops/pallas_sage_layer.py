@@ -475,7 +475,7 @@ def _bwd_merged_kernel(
     gcode_ref, tprev_ref, band_ref,
     *outs,
     tile, width, x_dtype, skip, thr, scale, n_tiles, has_super,
-    apply_prev, tg,
+    apply_prev, tg, unroll,
 ):
     outs = list(outs)
     dx_ref, dwl_ref, dwr_ref, dbl_ref = outs[:4]
@@ -485,137 +485,141 @@ def _bwd_merged_kernel(
     ring_ref, hold_ref = rest[:2]
     if has_super:
         tacc_ref = rest[2]
-    t = pl.program_id(0)
+    p = pl.program_id(0)
     w2 = width // 2
+    n_steps = n_tiles // unroll
+    ring_n = 2 * unroll + 2
+    hold_n = 2 * unroll
 
-    @pl.when(t < n_tiles)
+    @pl.when(p < n_steps)
     def _tile_phase():
-        dz = dz_ref[...].astype(jnp.float32)
-        if apply_prev:
-            # pending star of the NEXT layer (threaded table_prev): the
-            # cotangent this kernel received is missing table_prev[gcode]
-            g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
-            selg = jnp.where(g_iota == gcode_ref[0], jnp.float32(1),
-                             jnp.float32(0))
-            dz_eff = dz + jnp.dot(selg.astype(x_dtype), tprev_ref[...],
-                                  preferred_element_type=jnp.float32)
-        else:
-            dz_eff = dz
-        if thr is not None:
-            _seed_tile(seed_ref, t)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(dz_eff.shape),
-                                 jnp.uint32)
-            keep = bits < jnp.uint32(thr)
-            dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
-                               jnp.float32(0.0))
-        y = y_ref[...].astype(jnp.float32)
-        dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
-        inv = inv_ref[...]
-        s = _rowsum(dy * y)
-        dout = (dy - y * s) * inv
-        dout_c = dout.astype(x_dtype)
+        for sub in range(unroll):
+            t = p * unroll + sub
+            row = pl.ds(sub * tile, tile)
+            dz = dz_ref[row, :].astype(jnp.float32)
+            if apply_prev:
+                # pending star of the NEXT layer (threaded table_prev):
+                # the cotangent this kernel received is missing
+                # table_prev[gcode]
+                g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+                selg = jnp.where(g_iota == gcode_ref[sub],
+                                 jnp.float32(1), jnp.float32(0))
+                dz_eff = dz + jnp.dot(selg.astype(x_dtype), tprev_ref[...],
+                                      preferred_element_type=jnp.float32)
+            else:
+                dz_eff = dz
+            if thr is not None:
+                _seed_tile(seed_ref, t)
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits(dz_eff.shape), jnp.uint32
+                )
+                keep = bits < jnp.uint32(thr)
+                dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
+                                   jnp.float32(0.0))
+            y = y_ref[row, :].astype(jnp.float32)
+            dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
+            inv = inv_ref[row, :]
+            s = _rowsum(dy * y)
+            dout = (dy - y * s) * inv
+            dout_c = dout.astype(x_dtype)
 
-        # dagg | dxp as ONE [T, H] @ [H, 2H] matmul against the
-        # pre-concatenated [W_l^T | W_r^T] (fewer MXU issues per tile)
-        h = dout_c.shape[1]
-        both = jnp.dot(dout_c, wlr_ref[...],
-                       preferred_element_type=jnp.float32)
-        dagg = both[:, :h].astype(x_dtype)
-        ring_ref[jax.lax.rem(t, 4)] = dagg
-        dxp = both[:, h:]
-        if skip:
-            dxp = dxp + dz_eff
-        hold_ref[jax.lax.rem(t, 3)] = dxp.astype(x_dtype)
+            # dagg | dxp as ONE [T, H] @ [H, 2H] matmul against the
+            # pre-concatenated [W_l^T | W_r^T]
+            h = dout_c.shape[1]
+            both = jnp.dot(dout_c, wlr_ref[...],
+                           preferred_element_type=jnp.float32)
+            dagg = both[:, :h].astype(x_dtype)
+            ring_ref[jax.lax.rem(t, ring_n)] = dagg
+            dxp = both[:, h:]
+            if skip:
+                dxp = dxp + dz_eff
+            hold_ref[jax.lax.rem(t, hold_n)] = dxp.astype(x_dtype)
 
-        # dW_l | dW_r as one contraction over the tile rows
-        lhs = jnp.concatenate([agg_ref[...], x_ref[...]], axis=1)
-        dw_t = jax.lax.dot_general(
-            lhs, dout_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dwl_t, dwr_t = dw_t[:h], dw_t[h:]
-        dbl_t = jnp.sum(dout, axis=0, keepdims=True)
-        if has_super:
-            a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
-            sela = jnp.where(a_iota == gacc_ref[0], jnp.float32(1),
-                             jnp.float32(0))
-            tb = jnp.dot(sela.astype(x_dtype), dagg,
-                         preferred_element_type=jnp.float32)
-
-        @pl.when(t == 0)
-        def _():
-            dwl_ref[...] = dwl_t
-            dwr_ref[...] = dwr_t
-            dbl_ref[...] = dbl_t
+            # dW_l | dW_r as one contraction over the tile rows
+            lhs = jnp.concatenate([agg_ref[row, :], x_ref[row, :]], axis=1)
+            dw_t = jax.lax.dot_general(
+                lhs, dout_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dwl_t, dwr_t = dw_t[:h], dw_t[h:]
+            dbl_t = jnp.sum(dout, axis=0, keepdims=True)
             if has_super:
-                tacc_ref[...] = tb
+                a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
+                sela = jnp.where(a_iota == gacc_ref[sub], jnp.float32(1),
+                                 jnp.float32(0))
+                tb = jnp.dot(sela.astype(x_dtype), dagg,
+                             preferred_element_type=jnp.float32)
 
-        @pl.when(t > 0)
-        def _():
-            dwl_ref[...] += dwl_t
-            dwr_ref[...] += dwr_t
-            dbl_ref[...] += dbl_t
-            if has_super:
-                tacc_ref[...] += tb
+            if sub == 0:
+                @pl.when(p == 0)
+                def _():
+                    dwl_ref[...] = dwl_t
+                    dwr_ref[...] = dwr_t
+                    dbl_ref[...] = dbl_t
+                    if has_super:
+                        tacc_ref[...] = tb
+
+                @pl.when(p > 0)
+                def _():
+                    dwl_ref[...] += dwl_t
+                    dwr_ref[...] += dwr_t
+                    dbl_ref[...] += dbl_t
+                    if has_super:
+                        tacc_ref[...] += tb
+            else:
+                dwl_ref[...] += dwl_t
+                dwr_ref[...] += dwr_t
+                dbl_ref[...] += dbl_t
+                if has_super:
+                    tacc_ref[...] += tb
 
         if has_super:
-            @pl.when(t == n_tiles - 1)
+            @pl.when(p == n_steps - 1)
             def _():
                 town_ref[...] = tacc_ref[...]
 
-    @pl.when(t >= 2)
+    @pl.when(p >= 1)
     def _band_phase():
-        # dx for output tile j = t-2 (LAG 2: tile j+1's dagg landed in the
-        # ring at step t-1, so this phase has NO dependency on this step's
-        # tile phase and the MXU pipeline never stalls between the two):
-        # band_j @ dagg_slab + dxp_j, slab assembled from the ring. Slab
-        # start = clip(j*tile - w2, 0, n - slab) (the forward's clamped
-        # windows): interior tiles read [j-1 tail w2 | j | j+1 head w2];
-        # the first tile reads [0, slab), the last [n - slab, n).
-        j = t - 2
-        b = band_ref[0]
-        if jnp.issubdtype(b.dtype, jnp.integer):
-            b = b.astype(jnp.float32).astype(x_dtype)
-        dxp_j = hold_ref[jax.lax.rem(j, 3)]
-        base = dxp_j.astype(jnp.float32)
-        r_prev = ring_ref[jax.lax.rem(j + 3, 4)]  # (j-1) % 4, avoids -1
-        r_cur = ring_ref[jax.lax.rem(j, 4)]
-        r_next = ring_ref[jax.lax.rem(j + 1, 4)]
+        # dx for output tiles j = (p-1)*unroll + sub (one-STEP lag: the
+        # highest ring tile needed, j+1 = p*unroll, landed in this step's
+        # FIRST tile-phase iteration): band_j @ dagg_slab + dxp_j, slab
+        # assembled from the ring. Slab start = clip(j*tile - w2, 0,
+        # n - slab) (the forward's clamped windows): interior tiles read
+        # [j-1 tail w2 | j | j+1 head w2]; the first tile reads [0, slab),
+        # the last [n - slab, n).
+        for sub in range(unroll):
+            j = (p - 1) * unroll + sub
+            row = pl.ds(sub * tile, tile)
+            b = band_ref[sub]
+            if jnp.issubdtype(b.dtype, jnp.integer):
+                b = b.astype(jnp.float32).astype(x_dtype)
+            base = hold_ref[jax.lax.rem(j, hold_n)].astype(jnp.float32)
+            r_prev = ring_ref[jax.lax.rem(j + ring_n - 1, ring_n)]
+            r_cur = ring_ref[jax.lax.rem(j, ring_n)]
+            r_next = ring_ref[jax.lax.rem(j + 1, ring_n)]
 
-        def dot(bm, xm, acc):
-            return acc + jnp.dot(bm, xm, preferred_element_type=jnp.float32)
+            def dot(bm, xm, acc):
+                return acc + jnp.dot(bm, xm,
+                                     preferred_element_type=jnp.float32)
 
-        if n_tiles == 2:
             @pl.when(j == 0)
             def _():
                 acc = dot(b[:, :tile], r_cur, base)
                 acc = dot(b[:, tile:], r_next[:width], acc)
-                dx_ref[...] = acc.astype(x_dtype)
-
-            @pl.when(j == 1)
-            def _():
-                acc = dot(b[:, :width], r_prev[tile - width:], base)
-                acc = dot(b[:, width:], r_cur, acc)
-                dx_ref[...] = acc.astype(x_dtype)
-        else:
-            @pl.when(j == 0)
-            def _():
-                acc = dot(b[:, :tile], r_cur, base)
-                acc = dot(b[:, tile:], r_next[:width], acc)
-                dx_ref[...] = acc.astype(x_dtype)
+                dx_ref[row, :] = acc.astype(x_dtype)
 
             @pl.when((j > 0) & (j < n_tiles - 1))
             def _():
                 acc = dot(b[:, :w2], r_prev[tile - w2:], base)
                 acc = dot(b[:, w2:w2 + tile], r_cur, acc)
                 acc = dot(b[:, w2 + tile:], r_next[:w2], acc)
-                dx_ref[...] = acc.astype(x_dtype)
+                dx_ref[row, :] = acc.astype(x_dtype)
 
             @pl.when(j == n_tiles - 1)
             def _():
                 acc = dot(b[:, :width], r_prev[tile - width:], base)
                 acc = dot(b[:, width:], r_cur, acc)
-                dx_ref[...] = acc.astype(x_dtype)
+                dx_ref[row, :] = acc.astype(x_dtype)
 
 
 def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
@@ -625,7 +629,9 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     n, h = dz.shape
     n_tiles = n // tile
     assert n_tiles >= 2, "merged backward needs >= 2 node tiles"
-    # lag-2 software pipeline: grid T+2, dagg ring of 4, dxp hold of 3
+    unroll = _UNROLL if n_tiles % _UNROLL == 0 and n_tiles > 2 else 1
+    n_steps = n_tiles // unroll
+    ring_n, hold_n = 2 * unroll + 2, 2 * unroll
     thr = dropout_threshold(rate) if training_rate_active else None
     scale = dropout_scale(rate) if thr is not None else None
     if not has_super:
@@ -636,28 +642,31 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     kern = functools.partial(
         _bwd_merged_kernel, tile=tile, width=width, x_dtype=x.dtype,
         skip=skip, thr=thr, scale=scale, n_tiles=n_tiles,
-        has_super=has_super, apply_prev=apply_prev, tg=tg,
+        has_super=has_super, apply_prev=apply_prev, tg=tg, unroll=unroll,
     )
-    last = n_tiles - 1
-    in_blk = pl.BlockSpec((tile, h), lambda t: (jnp.minimum(t, last), 0),
+    last = n_steps - 1
+    in_blk = pl.BlockSpec((unroll * tile, h),
+                          lambda t: (jnp.minimum(t, last), 0),
                           memory_space=pltpu.VMEM)
-    in_blkv = pl.BlockSpec((tile, 1), lambda t: (jnp.minimum(t, last), 0),
+    in_blkv = pl.BlockSpec((unroll * tile, 1),
+                           lambda t: (jnp.minimum(t, last), 0),
                            memory_space=pltpu.VMEM)
-    in_gacc = pl.BlockSpec((1, 1, tile),
+    in_gacc = pl.BlockSpec((unroll, 1, tile),
                            lambda t: (jnp.minimum(t, last), 0, 0),
                            memory_space=pltpu.VMEM)
-    in_gcode = pl.BlockSpec((1, tile, 1),
+    in_gcode = pl.BlockSpec((unroll, tile, 1),
                             lambda t: (jnp.minimum(t, last), 0, 0),
                             memory_space=pltpu.VMEM)
-    in_band = pl.BlockSpec((1, tile, tile + width),
-                           lambda t: (jnp.maximum(t - 2, 0), 0, 0),
+    in_band = pl.BlockSpec((unroll, tile, tile + width),
+                           lambda t: (jnp.maximum(t - 1, 0), 0, 0),
                            memory_space=pltpu.VMEM)
     full = pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
     wide = pl.BlockSpec((h, 2 * h), lambda t: (0, 0),
                         memory_space=pltpu.VMEM)
     row = pl.BlockSpec((1, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
     tbl = pl.BlockSpec((tg, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    out_dx = pl.BlockSpec((tile, h), lambda t: (jnp.maximum(t - 2, 0), 0),
+    out_dx = pl.BlockSpec((unroll * tile, h),
+                          lambda t: (jnp.maximum(t - 1, 0), 0),
                           memory_space=pltpu.VMEM)
     out_specs = [out_dx, full, full, row]
     out_shape = [
@@ -670,8 +679,8 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
         out_specs.append(tbl)
         out_shape.append(jax.ShapeDtypeStruct((tg, h), jnp.float32))
     scratch = [
-        pltpu.VMEM((4, tile, h), x.dtype),  # dagg ring
-        pltpu.VMEM((3, tile, h), x.dtype),  # dxp hold
+        pltpu.VMEM((ring_n, tile, h), x.dtype),  # dagg ring
+        pltpu.VMEM((hold_n, tile, h), x.dtype),  # dxp hold
     ]
     if has_super:
         scratch.append(pltpu.VMEM((tg, h), jnp.float32))
@@ -679,7 +688,7 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     wlr = jnp.concatenate([w_l.T, w_r.T], axis=1)
     return pl.pallas_call(
         kern,
-        grid=(n_tiles + 2,),
+        grid=(n_steps + 1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   in_blk, in_blk, in_blkv, in_blk, in_blk, wide,
                   in_gacc, in_gcode, tbl, in_band],

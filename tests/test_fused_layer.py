@@ -96,6 +96,45 @@ def test_fused_layer_grads_match(rng, skip, supernode):
         )
 
 
+@pytest.mark.parametrize("supernode", [False, True])
+def test_fused_layer_grads_match_many_tiles(rng, supernode):
+    """Same as test_fused_layer_grads_match but on a 6+-tile batch so the
+    merged backward's 2-tile unroll and the INTERIOR band branch (slab =
+    [j-1 tail | j | j+1 head]) execute — the default batches pack into 2
+    tiles, which only covers the edge branches and unroll=1."""
+    batch, _ = _packed(n_graphs=10, seed=7, band_width=64, tile=128,
+                       supernode=supernode)
+    n_tiles = batch.n_node_cap // batch.band_tile
+    assert n_tiles >= 4 and n_tiles % 2 == 0, n_tiles
+    ctx = make_agg_context(batch, use_pallas=True)
+    h = 128
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    b_l = jnp.asarray(rng.normal(size=(h,)) * 0.1, jnp.float32)
+    w_r = jnp.asarray(rng.normal(size=(h, h)) * 0.1, jnp.float32)
+    mask = jnp.asarray(batch.node_mask, jnp.float32)[:, None]
+    probe = jnp.asarray(rng.normal(size=(batch.n_node_cap, h)), jnp.float32)
+
+    def loss_fused(x, w_l, b_l, w_r):
+        z = fused_sage_layer(x, w_l, b_l, w_r, ctx, skip=True, rate=0.0,
+                             seed=jnp.zeros((2,), jnp.int32),
+                             deterministic=False)
+        return jnp.sum(z * mask * probe)
+
+    def loss_ref(x, w_l, b_l, w_r):
+        z = _composition(x, w_l, b_l, w_r, ctx, skip=True)
+        return jnp.sum(z * mask * probe)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w_l, b_l, w_r)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w_l, b_l, w_r)
+    for a, b, name in zip(g_fused, g_ref, ["dx", "dw_l", "db_l", "dw_r"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"gradient mismatch: {name}",
+        )
+
+
 def test_threaded_star_chain_grads_match(rng):
     """A 3-layer chain with star threading (star_source + star_in /
     star_next: the merged backward defers each layer's supernode-star
