@@ -48,14 +48,24 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     cfg = TrainConfig(hidden_channels=hidden, num_layers=num_layers,
                       batch_size=batch_size, segment_impl=impl,
                       compute_dtype=compute_dtype)
-    ncap, ecap = suggest_capacities(normed, batch_size, slack=1.12)
+    # ONE fixed batch holds the whole dataset, so capacities are exact —
+    # suggest_capacities' shuffle slack would add ~11% pure-padding node
+    # tiles that cost full kernel time and carry zero edges
+    n_real = sum(g.n_node for g in normed) + 1  # + dead node
+    e_real = sum(g.n_edge for g in normed)
+    ecap = ((e_real + 255) // 128) * 128
     bw = band_width if impl.startswith("banded") else None
     if bw is not None:
-        # 2-tile alignment so the Pallas kernel's 2-tile unroll engages
-        ncap = ((max(ncap, band_tile + bw) + 2 * band_tile - 1)
-                // (2 * band_tile)) * (2 * band_tile)
+        # 4-tile alignment so the Pallas kernels' unrolls engage
+        align = 4 * band_tile
+        ncap = ((max(n_real, band_tile + bw) + align - 1) // align) * align
+    else:
+        ncap = n_real
     batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap,
                                      band_width=bw, band_tile=band_tile)))
+    assert int(np.sum(np.asarray(batch.graph_mask))) == n_graphs, (
+        "bench batch must hold the full dataset"
+    )
     model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
     opt = make_optimizer(cfg)
     state = init_state(model, opt, batch, seed=0)
@@ -68,7 +78,7 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                 key=jax.random.key(0, impl=cfg.rng_impl))
 
 
-def run_bench(setup, n_warmup=3, n_steps=20, chain=10):
+def run_bench(setup, n_warmup=3, n_steps=50, chain=10):
     """``chain`` steps ride ONE dispatch (a jitted lax.fori_loop): each
     python->device dispatch crosses the axon relay and costs a variable
     2-4 ms, which at ~28 ms device steps would pollute the measurement by

@@ -59,8 +59,21 @@ from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
 # ops/pallas_banded.py: unroll 2 with a 6-deep buffer amortizes the
 # per-iteration DMA issue/wait overhead over two matmul chains and the
 # deeper prefetch hides latency behind the epilogue math).
-_NBUF = 6
-_UNROLL = 2
+_NBUF = 8
+_UNROLL_FWD = 4
+# the merged backward holds 5 unroll-sized input blocks (double-buffered)
+# plus the dagg ring / dxp hold in scoped VMEM; unroll 4 exceeds the
+# 16 MB scoped-vmem limit on the v5e (measured: 17.8 MB)
+_UNROLL_BWD = 2
+
+
+def _pick_unroll(n_tiles: int, top: int) -> int:
+    u = top
+    while u > 1:
+        if n_tiles % u == 0 and n_tiles > u:
+            return u
+        u //= 2
+    return 1
 
 
 # Route in-kernel row-sums (L2-norm forward, norm-backward s) through an
@@ -237,7 +250,10 @@ def _fwd_kernel(
         z_ref[row, :] = z
         if training:
             y_ref[row, :] = y.astype(x_dtype)
-            inv_ref[row, :] = inv
+            # store inv TRANSPOSED ([1, tile] rows): a [N, 1] f32 array
+            # lane-pads 128x in HBM (~59 MB per layer each way); the row
+            # layout costs one tiny in-kernel transpose instead
+            inv_ref[j] = jnp.transpose(inv)
             agg_ref[row, :] = agg
         if emit_table:
             # accumulate the NEXT layer's star table from z on the fly
@@ -284,7 +300,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         spill_messages = jnp.zeros((SPILL_CHUNK, h), x.dtype)
     thr = dropout_threshold(rate) if (training and rate > 0.0) else None
     scale = dropout_scale(rate) if thr is not None else None
-    unroll = _UNROLL if n_tiles % _UNROLL == 0 else 1
+    unroll = _pick_unroll(n_tiles, _UNROLL_FWD)
 
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
@@ -298,13 +314,14 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
     out_specs = [out_block]
     if training:
         out_shapes += [
-            jax.ShapeDtypeStruct((n, h), x.dtype),      # y
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),  # inv
-            jax.ShapeDtypeStruct((n, h), x.dtype),      # agg
+            jax.ShapeDtypeStruct((n, h), x.dtype),            # y
+            jax.ShapeDtypeStruct((n_tiles, 1, tile),
+                                 jnp.float32),                # inv (rows)
+            jax.ShapeDtypeStruct((n, h), x.dtype),            # agg
         ]
         out_specs += [
             out_block,
-            pl.BlockSpec((unroll * tile, 1), lambda p: (p, 0),
+            pl.BlockSpec((unroll, 1, tile), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             out_block,
         ]
@@ -382,7 +399,7 @@ def _bwd_kernel(
         dz = jnp.where(keep, dz * jnp.float32(scale), jnp.float32(0.0))
     y = y_ref[...].astype(jnp.float32)
     dy = jnp.where(y > 0.0, dz, jnp.float32(0.0))
-    inv = inv_ref[...]
+    inv = jnp.transpose(inv_ref[0])  # [1, tile] row -> column
     # row-sum optionally via MXU — see the forward kernel's norm note
     s = _rowsum(dy * y)
     dout = (dy - y * s) * inv
@@ -518,7 +535,7 @@ def _bwd_merged_kernel(
                                    jnp.float32(0.0))
             y = y_ref[row, :].astype(jnp.float32)
             dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
-            inv = inv_ref[row, :]
+            inv = jnp.transpose(inv_ref[sub])  # [1, tile] row -> column
             s = _rowsum(dy * y)
             dout = (dy - y * s) * inv
             dout_c = dout.astype(x_dtype)
@@ -629,7 +646,7 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     n, h = dz.shape
     n_tiles = n // tile
     assert n_tiles >= 2, "merged backward needs >= 2 node tiles"
-    unroll = _UNROLL if n_tiles % _UNROLL == 0 and n_tiles > 2 else 1
+    unroll = _pick_unroll(n_tiles, _UNROLL_BWD)
     n_steps = n_tiles // unroll
     ring_n, hold_n = 2 * unroll + 2, 2 * unroll
     thr = dropout_threshold(rate) if training_rate_active else None
@@ -648,8 +665,8 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     in_blk = pl.BlockSpec((unroll * tile, h),
                           lambda t: (jnp.minimum(t, last), 0),
                           memory_space=pltpu.VMEM)
-    in_blkv = pl.BlockSpec((unroll * tile, 1),
-                           lambda t: (jnp.minimum(t, last), 0),
+    in_blkv = pl.BlockSpec((unroll, 1, tile),
+                           lambda t: (jnp.minimum(t, last), 0, 0),
                            memory_space=pltpu.VMEM)
     in_gacc = pl.BlockSpec((unroll, 1, tile),
                            lambda t: (jnp.minimum(t, last), 0, 0),
@@ -712,7 +729,8 @@ def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
         scale=scale, n_tiles=n_tiles, has_super=has_super, tg=tg,
     )
     blk = pl.BlockSpec((tile, h), lambda t: (t, 0), memory_space=pltpu.VMEM)
-    blkv = pl.BlockSpec((tile, 1), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    blkv = pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
     blk1 = pl.BlockSpec((1, 1, tile), lambda t: (t, 0, 0),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec((h, h), lambda t: (0, 0), memory_space=pltpu.VMEM)
@@ -837,16 +855,15 @@ def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
 
 
 def _star_apply(ct, table, gcode_flat, tg):
-    """XLA gather-add of a deferred star table: ct + table[gcode]. Valid
-    codes are < tg (pack writes g or G+g, both < 2G <= tg); the sentinel is
-    exactly tg, so it selects nothing."""
+    """XLA application of a deferred star table: ct + table[gcode] as a
+    one-hot MATMUL — an [N, H] row gather runs ~0.45 ms on the v5e while
+    the compare+dot fuses to ~0.19 (cf. ops/segment.py). Valid codes are
+    < tg; the sentinel is exactly tg, so its one-hot row is all zeros."""
     t = table.astype(ct.dtype)
-    corr = jnp.where(
-        (gcode_flat < tg)[:, None],
-        t[jnp.clip(gcode_flat, 0, tg - 1)],
-        jnp.zeros((), ct.dtype),
-    )
-    return ct + corr
+    onehot = (
+        gcode_flat[:, None] == jnp.arange(tg, dtype=gcode_flat.dtype)[None]
+    ).astype(ct.dtype)
+    return ct + jnp.dot(onehot, t)
 
 
 def _fused_layer_bwd(static, res, cts):
