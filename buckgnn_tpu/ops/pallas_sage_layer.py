@@ -499,9 +499,9 @@ def _bwd_merged_kernel(
     rest = outs[4:]
     if has_super:
         town_ref = rest.pop(0)
-    ring_ref, hold_ref = rest[:2]
+    ring_ref, hold_ref, slab_ref = rest[:3]
     if has_super:
-        tacc_ref = rest[2]
+        tacc_ref = rest[3]
     p = pl.program_id(0)
     w2 = width // 2
     n_steps = n_tiles // unroll
@@ -552,13 +552,14 @@ def _bwd_merged_kernel(
                 dxp = dxp + dz_eff
             hold_ref[jax.lax.rem(t, hold_n)] = dxp.astype(x_dtype)
 
-            # dW_l | dW_r as one contraction over the tile rows
-            lhs = jnp.concatenate([agg_ref[row, :], x_ref[row, :]], axis=1)
-            dw_t = jax.lax.dot_general(
-                lhs, dout_c, (((0,), (0,)), ((), ())),
+            dwl_t = jax.lax.dot_general(
+                agg_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dwl_t, dwr_t = dw_t[:h], dw_t[h:]
+            dwr_t = jax.lax.dot_general(
+                x_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             dbl_t = jnp.sum(dout, axis=0, keepdims=True)
             if has_super:
                 a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
@@ -615,28 +616,28 @@ def _bwd_merged_kernel(
             r_cur = ring_ref[jax.lax.rem(j, ring_n)]
             r_next = ring_ref[jax.lax.rem(j + 1, ring_n)]
 
-            def dot(bm, xm, acc):
-                return acc + jnp.dot(bm, xm,
-                                     preferred_element_type=jnp.float32)
-
+            # assemble the dagg slab CONTIGUOUSLY (cheap VPU copies) so
+            # the band application is ONE full-K matmul instead of three
+            # partial-K ones (K=64 matmuls run well off MXU peak)
             @pl.when(j == 0)
             def _():
-                acc = dot(b[:, :tile], r_cur, base)
-                acc = dot(b[:, tile:], r_next[:width], acc)
-                dx_ref[row, :] = acc.astype(x_dtype)
+                slab_ref[:tile] = r_cur
+                slab_ref[tile:] = r_next[:width]
 
             @pl.when((j > 0) & (j < n_tiles - 1))
             def _():
-                acc = dot(b[:, :w2], r_prev[tile - w2:], base)
-                acc = dot(b[:, w2:w2 + tile], r_cur, acc)
-                acc = dot(b[:, w2 + tile:], r_next[:w2], acc)
-                dx_ref[row, :] = acc.astype(x_dtype)
+                slab_ref[:w2] = r_prev[tile - w2:]
+                slab_ref[w2:w2 + tile] = r_cur
+                slab_ref[w2 + tile:] = r_next[:w2]
 
             @pl.when(j == n_tiles - 1)
             def _():
-                acc = dot(b[:, :width], r_prev[tile - width:], base)
-                acc = dot(b[:, width:], r_cur, acc)
-                dx_ref[row, :] = acc.astype(x_dtype)
+                slab_ref[:width] = r_prev[tile - width:]
+                slab_ref[width:] = r_cur
+
+            acc = base + jnp.dot(b, slab_ref[...],
+                                 preferred_element_type=jnp.float32)
+            dx_ref[row, :] = acc.astype(x_dtype)
 
 
 def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
@@ -698,6 +699,7 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     scratch = [
         pltpu.VMEM((ring_n, tile, h), x.dtype),  # dagg ring
         pltpu.VMEM((hold_n, tile, h), x.dtype),  # dxp hold
+        pltpu.VMEM((tile + width, h), x.dtype),  # contiguous dagg slab
     ]
     if has_super:
         scratch.append(pltpu.VMEM((tg, h), jnp.float32))
