@@ -125,6 +125,24 @@ class GraphBatch:
     # (parallel/partitioned.py::PartitionedBatch, attached via
     # `batch.replace(part=partition_batch(batch, D))`)
     part: object | None = None
+    # ---- per-receiver-tile edge WINDOWS (edge-dense models) ----
+    # Edges are receiver-sorted, so each node tile owns one contiguous
+    # edge range; host-reshaping them into fixed [n_tiles, W] windows lets
+    # edge-augmented models (EA_GNN) replace XLA row gathers/scatters
+    # (~40 ns/row) with dense batched one-hot matmuls (ops/ea_windowed.py):
+    # win_edges — windowed raw edge features (pad rows zero);
+    # win_sidx  — sender offset inside the tile's x-slab (sentinel `slab`
+    #             for out-of-band senders and pads);
+    # win_ridx  — receiver offset inside the tile (sentinel `tile` for
+    #             pads);
+    # win_far_pos/send — flat [t*W+w] positions and global senders of the
+    #             out-of-band edges (scatter-corrected; pads point at the
+    #             dead node whose features are zero).
+    win_edges: jnp.ndarray | None = None     # [n_tiles, W, Fe]
+    win_sidx: jnp.ndarray | None = None      # [n_tiles, W] int32
+    win_ridx: jnp.ndarray | None = None      # [n_tiles, W] int32
+    win_far_pos: jnp.ndarray | None = None   # [F_cap] int32
+    win_far_send: jnp.ndarray | None = None  # [F_cap] int32
     # static metadata (not traced)
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
@@ -474,6 +492,58 @@ def pack_graphs(
                 ),
                 super_mask=jnp.asarray(member.astype(np.float32)),
             )
+        win_kw: dict = {}
+        if fe_dim:
+            # per-receiver-tile edge windows for edge-dense models
+            # (ops/ea_windowed.py). Caps round to coarse multiples so
+            # batches of a homogeneous dataset share compiled shapes.
+            n_tiles_b = n_node_cap // band_tile
+            slab = band_tile + band_width
+            valid = edge_mask
+            tile_of = receivers // band_tile
+            counts = np.bincount(tile_of[valid], minlength=n_tiles_b)
+            w_cap = ((max(int(counts.max(initial=0)), 8) + 127)
+                     // 128) * 128
+            w_edges = np.zeros((n_tiles_b, w_cap, fe_dim), dtype=np_dtype)
+            w_sidx = np.full((n_tiles_b, w_cap), slab, dtype=np.int32)
+            w_ridx = np.full((n_tiles_b, w_cap), band_tile, dtype=np.int32)
+            starts = np.clip(
+                np.arange(n_tiles_b) * band_tile - band_width // 2,
+                0, max(n_node_cap - slab, 0),
+            )
+            idx_v = np.nonzero(valid)[0]  # receiver-ascending by packing
+            t_val = tile_of[idx_v]
+            off = np.zeros(n_tiles_b + 1, dtype=np.int64)
+            off[1:] = np.cumsum(counts)
+            pos = np.arange(len(idx_v)) - off[t_val]
+            w_edges[t_val, pos] = edges[idx_v]
+            loc = senders[idx_v].astype(np.int64) - starts[t_val]
+            inb = (loc >= 0) & (loc < slab)
+            w_sidx[t_val, pos] = np.where(inb, loc, slab).astype(np.int32)
+            w_ridx[t_val, pos] = (
+                receivers[idx_v] - t_val * band_tile
+            ).astype(np.int32)
+            far = ~inb
+            f_cnt = int(far.sum())
+            f_cap = ((max(f_cnt, 8) + 511) // 512) * 512
+            # pad positions are OUT OF BOUNDS on purpose: the scatter-add
+            # runs with mode="drop", which zeroes them in the FORWARD and
+            # the BACKWARD (an in-bounds dummy would leak that position's
+            # cotangent into d x[dead] -> wrong encoder grads)
+            far_pos = np.full((f_cap,), n_tiles_b * w_cap, dtype=np.int32)
+            far_send = np.full((f_cap,), dead, dtype=np.int32)
+            far_pos[:f_cnt] = (t_val[far] * w_cap + pos[far]).astype(
+                np.int32
+            )
+            far_send[:f_cnt] = senders[idx_v][far]
+            win_kw = dict(
+                win_edges=jnp.asarray(w_edges),
+                win_sidx=jnp.asarray(w_sidx),
+                win_ridx=jnp.asarray(w_ridx),
+                win_far_pos=jnp.asarray(far_pos),
+                win_far_send=jnp.asarray(far_send),
+            )
+        super_kw.update(win_kw)
         band_kw = dict(
             **super_kw,
             band_senders=jnp.asarray(bs),
@@ -591,9 +661,52 @@ def batch_iterator(
     batches = list(packed())
     any_spill = any(b.has_spill_edges for b in batches)
     any_spill2 = any(b.has_spill2_edges for b in batches)
+    # edge-window caps (W, F) must also match across batches for one
+    # compiled shape / DP stacking — pad every batch to the run maxima
+    # (pads carry sentinel indices / out-of-bounds positions, so they are
+    # inert in both directions; see pack_graphs)
+    w_max = f_max = 0
+    if batches and batches[0].win_edges is not None:
+        w_max = max(b.win_edges.shape[1] for b in batches)
+        f_max = max(b.win_far_pos.shape[0] for b in batches)
     for b in batches:
+        win_kw = {}
+        if w_max and b.win_edges.shape[1] < w_max:
+            dw = w_max - b.win_edges.shape[1]
+            nt = b.win_edges.shape[0]
+            slab = b.band_tile + b.band_width
+            win_kw.update(
+                win_edges=jnp.concatenate(
+                    [b.win_edges,
+                     jnp.zeros((nt, dw, b.win_edges.shape[2]),
+                               b.win_edges.dtype)], axis=1),
+                win_sidx=jnp.concatenate(
+                    [b.win_sidx,
+                     jnp.full((nt, dw), slab, jnp.int32)], axis=1),
+                win_ridx=jnp.concatenate(
+                    [b.win_ridx,
+                     jnp.full((nt, dw), b.band_tile, jnp.int32)], axis=1),
+            )
+            # far positions index the flat [nt * W] buffer; re-derive for
+            # the widened W (t = pos // W_old, w = pos % W_old)
+            t_idx = b.win_far_pos // b.win_edges.shape[1]
+            w_idx = b.win_far_pos % b.win_edges.shape[1]
+            sent = b.win_far_send == (b.n_node_cap - 1)
+            win_kw["win_far_pos"] = jnp.where(
+                sent, nt * w_max, t_idx * w_max + w_idx
+            ).astype(jnp.int32)
+        if f_max and b.win_far_pos.shape[0] < f_max:
+            df = f_max - b.win_far_pos.shape[0]
+            nt = b.win_edges.shape[0]
+            fp = win_kw.get("win_far_pos", b.win_far_pos)
+            win_kw["win_far_pos"] = jnp.concatenate(
+                [fp, jnp.full((df,), nt * w_max if w_max else 0,
+                              jnp.int32)])
+            win_kw["win_far_send"] = jnp.concatenate(
+                [b.win_far_send,
+                 jnp.full((df,), b.n_node_cap - 1, jnp.int32)])
         yield b.replace(has_spill_edges=any_spill,
-                        has_spill2_edges=any_spill2)
+                        has_spill2_edges=any_spill2, **win_kw)
 
 
 def select_band_geometry(

@@ -231,6 +231,11 @@ class GraphNetBlock(nn.Module):
 
     hidden_channels: int
     dtype: jnp.dtype = jnp.float32
+    # static window geometry (ops/ea_windowed.py::window_geometry) — when
+    # set, the call expects `windows` and runs the per-edge gathers and
+    # the scatter-mean as dense batched one-hot matmuls, with edge_attr
+    # in window layout [n_tiles, W, .] both ways. Same math, same params.
+    window_geom: tuple | None = None
 
     @nn.compact
     def __call__(
@@ -239,22 +244,35 @@ class GraphNetBlock(nn.Module):
         edge_attr: jnp.ndarray,
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
+        windows: tuple | None = None,  # (sidx, ridx, far_pos, far_send, deg)
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         h = self.hidden_channels
         num_nodes = x.shape[0]
-        x_row = x[receivers]
-        x_col = x[senders]
+        if self.window_geom is not None:
+            from buckgnn_tpu.ops import ea_windowed as eaw
+
+            sidx, ridx, far_pos, far_send, degree = windows
+            x_row = eaw.gather_receivers(x, ridx, self.window_geom)
+            x_col = eaw.gather_senders(x, sidx, far_pos, far_send,
+                                       self.window_geom)
+        else:
+            x_row = x[receivers]
+            x_col = x[senders]
         edge_attr = MLP((h, h), dtype=self.dtype, name="edge_mlp")(
             jnp.concatenate([x_row, x_col, edge_attr], axis=-1)
         )
         messages = MLP((h, h), dtype=self.dtype, name="node_mlp_phi")(
             jnp.concatenate([x_col, edge_attr], axis=-1)
         )
-        from buckgnn_tpu.ops import segment
+        if self.window_geom is not None:
+            agg = eaw.scatter_mean_messages(messages, ridx, degree,
+                                            self.window_geom)
+        else:
+            from buckgnn_tpu.ops import segment
 
-        agg = segment.segment_mean(
-            messages, receivers, num_nodes, indices_are_sorted=True
-        )
+            agg = segment.segment_mean(
+                messages, receivers, num_nodes, indices_are_sorted=True
+            )
         x = MLP((h, h), dtype=self.dtype, name="node_mlp_gamma")(
             jnp.concatenate([x, agg], axis=-1)
         )

@@ -282,6 +282,20 @@ class BuckGNN(nn.Module):
                 x = dropout(x)
 
         elif name in ("EA_GNN", "EA_GNN_Shared"):
+            # windowed dense formulation when the batch carries edge
+            # windows and a banded impl was requested: per-edge
+            # gathers/scatter become batched one-hot matmuls
+            # (ops/ea_windowed.py) instead of ~40 ns/row XLA loops
+            win_geom = windows = None
+            if self.impl.startswith("banded"):
+                from buckgnn_tpu.ops import ea_windowed as eaw
+
+                if eaw.supports_windowed(batch):
+                    win_geom = eaw.window_geometry(batch)
+                    windows = (batch.win_sidx, batch.win_ridx,
+                               batch.win_far_pos, batch.win_far_send,
+                               eaw.window_degree(batch))
+                    edge_attr = eaw.window_edge_features(batch)
             edge_attr = MLP(encoder_widths(h), dtype=self.dtype, name="edge_encoder")(
                 edge_attr
             )
@@ -298,15 +312,18 @@ class BuckGNN(nn.Module):
                 else GraphNetBlock
             )
             if shared:
-                block = Block(h, dtype=self.dtype, name="shared_gn_block")
+                block = Block(h, dtype=self.dtype, window_geom=win_geom,
+                              name="shared_gn_block")
             for i in range(L):
                 x_prev, e_prev = x, edge_attr
                 blk = (
                     block
                     if shared
-                    else Block(h, dtype=self.dtype, name=f"gn_block_{i}")
+                    else Block(h, dtype=self.dtype, window_geom=win_geom,
+                               name=f"gn_block_{i}")
                 )
-                x, edge_attr = blk(x, edge_attr, senders, receivers)
+                x, edge_attr = blk(x, edge_attr, senders, receivers,
+                                   windows)
                 if 0 < i < L - 1:
                     x = x + x_prev
                     edge_attr = edge_attr + e_prev

@@ -138,11 +138,11 @@ def _fwd_kernel(
     *outs,
     # scratch appended after outputs by pallas_call
     tile, width, n_nodes, n_tiles, x_dtype, has_spill, n_spill,
-    skip, thr, scale, training, has_super, tg, unroll, emit_table,
+    skip, thr, scale, save_res, has_super, tg, unroll, emit_table,
 ):
     outs = list(outs)
     z_ref = outs.pop(0)
-    if training:
+    if save_res:
         y_ref, inv_ref, agg_ref = outs.pop(0), outs.pop(0), outs.pop(0)
     if emit_table:
         ftab_ref = outs.pop(0)
@@ -248,7 +248,7 @@ def _fwd_kernel(
         row = pl.ds(j * tile, tile)
         z = r.astype(x_dtype)
         z_ref[row, :] = z
-        if training:
+        if save_res:
             y_ref[row, :] = y.astype(x_dtype)
             # store inv TRANSPOSED ([1, tile] rows): a [N, 1] f32 array
             # lane-pads 128x in HBM (~59 MB per layer each way); the row
@@ -281,8 +281,8 @@ def _fwd_kernel(
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
               spill_messages, seed, gcode, table, gacc, *, tile, width,
-              has_spill, skip, rate, training, interpret, has_super,
-              emit_table):
+              has_spill, skip, rate, training, save_res, interpret,
+              has_super, emit_table):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
@@ -305,14 +305,14 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         x_dtype=x.dtype, has_spill=has_spill, n_spill=n_spill, skip=skip,
-        thr=thr, scale=scale, training=training, has_super=has_super, tg=tg,
-        unroll=unroll, emit_table=emit_table,
+        thr=thr, scale=scale, save_res=save_res, has_super=has_super,
+        tg=tg, unroll=unroll, emit_table=emit_table,
     )
     out_block = pl.BlockSpec((unroll * tile, h), lambda p: (p, 0),
                              memory_space=pltpu.VMEM)
     out_shapes = [jax.ShapeDtypeStruct((n, h), x.dtype)]
     out_specs = [out_block]
-    if training:
+    if save_res:
         out_shapes += [
             jax.ShapeDtypeStruct((n, h), x.dtype),            # y
             jax.ShapeDtypeStruct((n_tiles, 1, tile),
@@ -825,31 +825,37 @@ def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
     encoder boundary. Split (has_spill) backward applies its own star
     inside the band kernel instead, so its t_in cotangent is zeros.
     """
-    out, _ = _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off,
-                              spill_lo, spill_hi, spill_s, seed, gcode,
-                              gacc, table, t_in)
-    return out
+    msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
+    emit = static["emit_table"]
+    outs = list(_call_fwd(
+        x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
+        gcode, table, gacc,
+        tile=static["tile"], width=static["width"],
+        has_spill=static["has_spill"], skip=static["skip"],
+        rate=static["rate"], training=static["training"], save_res=False,
+        interpret=static["interpret"], has_super=static["has_super"],
+        emit_table=emit,
+    ))
+    t_out = jnp.zeros_like(t_in)
+    ftab = outs.pop() if emit else jnp.zeros((8, x.shape[1]), jnp.float32)
+    return outs[0], t_out, ftab
 
 
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
                      spill_hi, spill_s, seed, gcode, gacc, table, t_in):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
     emit = static["emit_table"]
-    outs = _call_fwd(
+    outs = list(_call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
         gcode, table, gacc,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
-        rate=static["rate"], training=static["training"],
+        rate=static["rate"], training=static["training"], save_res=True,
         interpret=static["interpret"], has_super=static["has_super"],
         emit_table=emit,
-    )
-    outs = list(outs)
+    ))
     t_out = jnp.zeros_like(t_in)
     ftab = outs.pop() if emit else jnp.zeros((8, x.shape[1]), jnp.float32)
-    if not static["training"]:
-        (z,) = outs
-        return (z, t_out, ftab), None
     z, y, inv, agg = outs
     return (z, t_out, ftab), (x, w_l, w_r, y, inv, agg, band, spill_off,
                               spill_lo, spill_hi, spill_s, seed, b_l,

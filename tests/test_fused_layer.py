@@ -24,10 +24,11 @@ from buckgnn_tpu.ops.pallas_sage_layer import (
 
 
 def _packed(n_graphs=4, seed=0, band_width=128, tile=256,
-            supernode=False):
+            supernode=False, virtual=None):
     ds = generate_dataset(
         n_graphs, seed=seed, min_side=5, max_side=9,
-        use_super_node=supernode, use_virtual_edges=not supernode,
+        use_super_node=supernode,
+        use_virtual_edges=not supernode if virtual is None else virtual,
     )
     n = sum(g.n_node for g in ds) + 1
     ncap = ((max(n, tile + band_width) + tile - 1) // tile) * tile
@@ -203,6 +204,55 @@ def test_model_fused_path_matches_xla(rng, supernode):
     np.testing.assert_allclose(
         np.asarray(p_ref)[gm], np.asarray(p_fused)[gm], rtol=2e-4, atol=2e-5
     )
+
+
+def test_model_fused_grads_supernode_with_spill(rng):
+    """Supernode batch WITH out-of-band (spill) edges: star threading is
+    off and the SPLIT backward applies its own star inside the band
+    kernel — this combination has no other model-level coverage."""
+    # scramble node order so some mesh edges exceed the band width (the
+    # generator's locality keeps everything in-band otherwise)
+    import dataclasses as dc
+
+    ds = generate_dataset(3, seed=9, min_side=8, max_side=11,
+                          use_super_node=True, use_virtual_edges=False)
+    rng_p = np.random.default_rng(1)
+    scrambled = []
+    for g in ds:
+        perm = rng_p.permutation(g.n_node)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(g.n_node)
+        scrambled.append(dc.replace(
+            g, x=g.x[perm], senders=inv[g.senders].astype(np.int32),
+            receivers=inv[g.receivers].astype(np.int32),
+            supernode=int(inv[g.supernode]),
+        ))
+    ds = scrambled
+    tile, width = 128, 64
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, tile + width) + tile - 1) // tile) * tile
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    batch = pack_graphs(ds, ncap, ecap, 4, band_width=width,
+                        band_tile=tile)
+    assert batch.has_supernode_edges and batch.has_spill_edges
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=128, num_layers=3,
+        pooling_layer="supernode_with_pooling", dropout_rate=0.0,
+    )
+    m_ref = BuckGNN(impl="xla", **kwargs)
+    m_fused = BuckGNN(impl="banded_pallas", **kwargs)
+    variables = m_ref.init(jax.random.key(0), batch, deterministic=True)
+
+    def loss(model, v):
+        pred, _ = model.apply(v, batch, deterministic=True)
+        return jnp.sum(pred * jnp.asarray(batch.graph_mask, pred.dtype))
+
+    g_ref = jax.grad(lambda v: loss(m_ref, v))(variables)
+    g_fused = jax.grad(lambda v: loss(m_fused, v))(variables)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
 
 
 @pytest.mark.parametrize("supernode", [False, True])
