@@ -74,6 +74,44 @@ def main():
     dt = (time.perf_counter() - t0) / 10 * 1e3
     print(f"EA_GNN_Shared 6L h512 batch128 WINDOWED: {dt:.2f} ms/step "
           f"({n_edges / dt * 1e3 / 1e6:.2f}M e/s)", flush=True)
+    del state, train_step
+
+    # batch 64 WITHOUT remat (half the batch fits activations in HBM):
+    # is recompute or batch size the better trade?
+    ds64 = normed[:64]
+    n_real = sum(g.n_node for g in ds64) + 1
+    e_real = sum(g.n_edge for g in ds64)
+    ncap = ((max(n_real, tile + width) + 4 * tile - 1)
+            // (4 * tile)) * (4 * tile)
+    ecap = ((e_real + 255) // 128) * 128
+    cfg2 = TrainConfig(hidden_channels=512, num_layers=6, batch_size=64,
+                       segment_impl="banded_pallas",
+                       compute_dtype="bfloat16", remat=False,
+                       model_name="EA_GNN_Shared")
+    b2 = next(iter(batch_iterator(ds64, 64, ncap, ecap,
+                                  band_width=width, band_tile=tile)))
+    n_edges2 = int(np.sum(np.asarray(b2.edge_mask)))
+    model2 = build_model(cfg2, normed[0].x.shape[1],
+                         normed[0].edge_attr.shape[1])
+    opt2 = make_optimizer(cfg2)
+    try:
+        state2 = init_state(model2, opt2, b2, seed=0)
+        train_step2, _ = make_train_step(model2, opt2, criterion, cfg2, nz)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state2, m2 = train_step2(state2, b2, sub, lr)
+        jax.block_until_ready(m2["loss"])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            key, sub = jax.random.split(key)
+            state2, m2 = train_step2(state2, b2, sub, lr)
+        jax.block_until_ready(m2["loss"])
+        dt2 = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"EA_GNN_Shared batch64 NO-remat: {dt2:.2f} ms/step "
+              f"({n_edges2 / dt2 * 1e3 / 1e6:.2f}M e/s)", flush=True)
+    except Exception as e:  # noqa: BLE001 - OOM probe
+        print(f"batch64 no-remat failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

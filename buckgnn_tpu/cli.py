@@ -78,6 +78,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
                             "banded_partitioned"])
     p.add_argument("--no-materialize-band", dest="materialize_band",
                    action="store_false", default=t.materialize_band)
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   default=t.remat,
+                   help="checkpoint conv layers (default: auto — on for "
+                        "EA_GNN at hidden >= 256)")
+    p.add_argument("--no-remat", dest="remat", action="store_false")
 
 
 def _train_cfg(args, data_cfg: DataConfig) -> TrainConfig:

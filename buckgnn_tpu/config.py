@@ -62,7 +62,8 @@ class TrainConfig:
     segment_impl: str = "xla"               # 'xla'|'sorted'|'banded'|'banded_pallas'|'banded_partitioned'
     repack_every_epoch: bool = False        # re-shuffle batch composition
     profile_epochs: int = 0                 # XLA-trace the first N epochs
-    remat: bool = False                     # checkpoint conv layers (memory)
+    remat: bool | None = None               # checkpoint conv layers (memory);
+                                            # None = auto (EA_GNN at h>=256)
     # Dropout PRNG implementation: 'rbg' uses the TPU hardware RNG via XLA's
     # RngBitGenerator (~7 ms/step cheaper than threefry on the flagship
     # batch-128 step); 'threefry' is JAX's default splittable PRNG.

@@ -92,8 +92,9 @@ class BuckGNN(nn.Module):
     # rematerialize each conv layer in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for O(L) -> O(1) activation memory, lifting
     # the batch-size ceiling (the reference was memory-bound at batch 16
-    # on 16 GB, README.md:59-62)
-    remat: bool = False
+    # on 16 GB, README.md:59-62). None = automatic (on for the edge-dense
+    # EA_GNN family at h >= 256, off otherwise); True/False force it.
+    remat: bool | None = None
 
     # ------------------------------------------------------------------ #
 
@@ -306,11 +307,8 @@ class BuckGNN(nn.Module):
             # h >= 256 so flagship-width EA_GNN trains at batch 128 on one
             # 16 GB chip (O(1) activation memory; RESULTS.md has the
             # measured step time).
-            Block = (
-                nn.remat(GraphNetBlock)
-                if self.remat or h >= 256
-                else GraphNetBlock
-            )
+            ea_remat = (h >= 256 if self.remat is None else self.remat)
+            Block = nn.remat(GraphNetBlock) if ea_remat else GraphNetBlock
             if shared:
                 block = Block(h, dtype=self.dtype, window_geom=win_geom,
                               name="shared_gn_block")
