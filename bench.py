@@ -30,7 +30,7 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     import jax
 
     from buckgnn_tpu.config import TrainConfig
-    from buckgnn_tpu.graph.batch import batch_iterator, suggest_capacities
+    from buckgnn_tpu.graph.batch import batch_iterator
     from buckgnn_tpu.graph.normalizer import normalize_dataset
     from buckgnn_tpu.graph.synthetic import generate_dataset
     from buckgnn_tpu.train.losses import get_loss_function
@@ -114,22 +114,23 @@ def run_bench(setup, n_warmup=3, n_steps=50, chain=10):
         state, key = train_chain(state, key)
     jax.block_until_ready(key)
 
-    # best-of-k chains: the relay occasionally injects multi-ms stalls
-    # into a chain; the fastest 10-step chain is the sustained device rate
-    def best_chain(fn, *args):
-        best = float("inf")
-        out = args
-        for _ in range(max(n_steps // chain, 1)):
-            t0 = time.perf_counter()
-            out = fn(*out) if args else fn()
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / chain)
-        return best, out
+    # dispatch all chains back-to-back and block ONCE on a tiny array:
+    # blocking between chains costs ~60 ms of relay round-trips per block
+    # (block_until_ready waits per buffer of the state pytree) — measured
+    # +6 ms/step when a best-of-k variant synced after every chain
+    n_chains = max(n_steps // chain, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chains):
+        state, key = train_chain(state, key)
+    jax.block_until_ready(key)
+    train_dt = (time.perf_counter() - t0) / (n_chains * chain)
 
-    train_dt, (state, key) = best_chain(train_chain, state, key)
-
-    jax.block_until_ready(eval_chain(state))
-    infer_dt, _ = best_chain(lambda: eval_chain(state))
+    s = jax.block_until_ready(eval_chain(state))
+    t0 = time.perf_counter()
+    for _ in range(n_chains):
+        s = eval_chain(state)
+    jax.block_until_ready(s)
+    infer_dt = (time.perf_counter() - t0) / (n_chains * chain)
 
     return dict(
         train_step_ms=train_dt * 1e3,

@@ -26,7 +26,6 @@ constants, so the backward is the same dense matmuls transposed.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
