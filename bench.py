@@ -101,13 +101,12 @@ def run_bench(setup, n_warmup=3, n_steps=50, chain=10):
 
         return jax.lax.fori_loop(0, chain, body, (state, key))
 
-    @jax.jit
-    def eval_chain(state):
-        def body(_, s):
-            m, _ = eval_step(state, batch)
-            return s + m["loss"]
-
-        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+    # NOTE: eval is NOT chained through fori_loop — its body would be
+    # fully loop-invariant (state isn't carried, no RNG) and XLA's
+    # while-loop invariant code motion would hoist the entire eval out of
+    # the loop, under-reporting the step time by up to the chain length.
+    # Plain async dispatch (block once at the end) keeps it honest; the
+    # per-dispatch overhead pipelines.
 
     # warm up compile + the first device<->host transfer of this process
     for _ in range(n_warmup):
@@ -125,12 +124,13 @@ def run_bench(setup, n_warmup=3, n_steps=50, chain=10):
     jax.block_until_ready(key)
     train_dt = (time.perf_counter() - t0) / (n_chains * chain)
 
-    s = jax.block_until_ready(eval_chain(state))
+    m, _ = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(n_chains):
-        s = eval_chain(state)
-    jax.block_until_ready(s)
-    infer_dt = (time.perf_counter() - t0) / (n_chains * chain)
+    for _ in range(n_steps):
+        m, _ = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    infer_dt = (time.perf_counter() - t0) / n_steps
 
     return dict(
         train_step_ms=train_dt * 1e3,

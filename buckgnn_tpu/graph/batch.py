@@ -610,6 +610,12 @@ def batch_iterator(
     permutation before packing (C++ kernel when available) — required for
     good in-band fractions on arbitrary-order real meshes when band_width
     is set.
+
+    NOTE: with ``band_width`` set this packs the ENTIRE dataset before
+    yielding (run-uniform spill flags and edge-window caps need the full
+    set) — the training loop keeps every batch resident anyway (one
+    compiled shape, data reused each epoch), but callers that only want
+    the first batch of a huge dataset should slice the dataset first.
     """
     if rcm:
         from buckgnn_tpu.graph.build import rcm_reorder

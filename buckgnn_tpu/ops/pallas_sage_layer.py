@@ -1071,15 +1071,22 @@ def fused_sage_layer(
             gacc = jnp.where(
                 is_super, g, jnp.where(batch.node_mask, g_cap + g, tg)
             ).astype(jnp.int32).reshape(n_tiles, 1, batch.band_tile)
-        # stop_gradient: the custom VJP already delivers the ENTIRE star
-        # gradient through the symmetric total-adjacency application (the
-        # table arg's cotangent is zeros by declaration). Without it the
-        # zero cotangent still flows through this build's TRANSPOSE —
-        # XLA cannot fold scatter(zeros)/dot(zeros) chains and materializes
-        # ~4.7 ms/step of pure zero arithmetic (measured, 6L flagship).
-        table = _super_tables(jax.lax.stop_gradient(x), batch.node_graph,
-                              batch.node_mask, batch.supernode_index,
-                              g_cap, tg)
+        if table_in is not None:
+            # threaded from the previous layer's kernel (its ftab output —
+            # the same values _super_tables(x) would rebuild)
+            table = table_in.astype(x.dtype)
+        else:
+            # stop_gradient: the custom VJP already delivers the ENTIRE
+            # star gradient through the symmetric total-adjacency
+            # application (the table arg's cotangent is zeros by
+            # declaration). Without it the zero cotangent still flows
+            # through this build's TRANSPOSE — XLA cannot fold
+            # scatter(zeros)/dot(zeros) chains and materializes
+            # ~4.7 ms/step of pure zero arithmetic (measured, 6L
+            # flagship).
+            table = _super_tables(jax.lax.stop_gradient(x),
+                                  batch.node_graph, batch.node_mask,
+                                  batch.supernode_index, g_cap, tg)
     else:
         gcode = jnp.zeros((0,), jnp.int32)
         gacc = jnp.zeros((0,), jnp.int32)

@@ -204,6 +204,50 @@ def partition_batch(
     )
 
 
+def pad_partitioned(
+    pb: PartitionedBatch,
+    spill_cap: int,
+    recv_cap: int,
+    force_spill: bool | None = None,
+) -> PartitionedBatch:
+    """Widen a PartitionedBatch's spill capacities to run-uniform values
+    (cheap array padding — avoids re-running partition_batch's host loop).
+    Pad send slots gather arbitrary rows that no recv_perm entry selects;
+    pad recv slots keep the receiver sentinel nl."""
+    d, _, s0 = pb.send_idx.shape
+    e0 = pb.recv_perm.shape[1]
+    send_idx, recv_perm, recv_recv = pb.send_idx, pb.recv_perm, \
+        pb.recv_receivers
+    if spill_cap > s0:
+        send_idx = jnp.concatenate(
+            [send_idx, jnp.zeros((d, d, spill_cap - s0), jnp.int32)],
+            axis=2,
+        )
+        # recv_perm indexes the flat [D * S_cap] received buffer —
+        # re-derive for the widened capacity
+        src = pb.recv_perm // s0
+        off = pb.recv_perm % s0
+        recv_perm = (src * spill_cap + off).astype(jnp.int32)
+    if recv_cap > e0:
+        recv_perm = jnp.concatenate(
+            [recv_perm, jnp.zeros((d, recv_cap - e0), jnp.int32)], axis=1
+        )
+        nl = pb.node_graph.shape[1]
+        recv_recv = jnp.concatenate(
+            [recv_recv, jnp.full((d, recv_cap - e0), nl, jnp.int32)],
+            axis=1,
+        )
+    return PartitionedBatch(
+        band=pb.band, send_idx=send_idx, recv_perm=recv_perm,
+        recv_receivers=recv_recv, node_graph=pb.node_graph,
+        node_mask=pb.node_mask, is_super=pb.is_super, gcode=pb.gcode,
+        tile=pb.tile, width=pb.width, n_shards=pb.n_shards,
+        g_cap=pb.g_cap, tg=pb.tg, has_super=pb.has_super,
+        has_spill=(pb.has_spill if force_spill is None
+                   else bool(force_spill)),
+    )
+
+
 # --------------------------------------------------------------------- #
 # the shard_map'd local operator
 # --------------------------------------------------------------------- #
@@ -283,9 +327,25 @@ def _local_agg(x, band, send_idx, recv_perm, recv_r, node_graph, node_mask,
 
 
 def _psym_impl(static, mesh, x, pb: PartitionedBatch):
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
 
     axis = static[-1]
+    if mesh is None:
+        # no explicit mesh: use the ambient one when it carries the axis,
+        # otherwise build a local mesh over n_shards devices so the
+        # single-host / single-chip path (e.g. the CLI's
+        # --segment-impl banded_partitioned without jax.set_mesh) works
+        amesh = jax.sharding.get_abstract_mesh()
+        if axis not in getattr(amesh, "axis_names", ()):
+            n_shards = static[2]
+            devs = jax.devices()
+            if len(devs) < n_shards:
+                raise ValueError(
+                    f"partitioned aggregation over {n_shards} shards "
+                    f"needs >= {n_shards} devices (have {len(devs)}) or "
+                    f"an ambient mesh with a '{axis}' axis"
+                )
+            mesh = Mesh(np.asarray(devs[:n_shards]), (axis,))
     fn = functools.partial(_local_agg, static=static)
     return jax.shard_map(
         fn,

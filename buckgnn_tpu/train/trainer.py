@@ -319,7 +319,10 @@ def train_gnn(
             # the 'model' axis of the ambient mesh (jax.set_mesh); one
             # shard otherwise. Caps/flags are unified across the run so
             # every batch shares a compiled shape.
-            from buckgnn_tpu.parallel.partitioned import partition_batch
+            from buckgnn_tpu.parallel.partitioned import (
+                pad_partitioned,
+                partition_batch,
+            )
 
             mesh = jax.sharding.get_abstract_mesh()
             n_shards = (mesh.shape["model"]
@@ -329,10 +332,9 @@ def train_gnn(
             e_cap = max(int(pb.recv_perm.shape[-1]) for pb in pbs)
             any_spill = any(pb.has_spill for pb in pbs)
             batches = [
-                b.replace(part=partition_batch(
-                    b, n_shards, spill_cap=s_cap, recv_cap=e_cap,
-                    force_spill=any_spill))
-                for b in batches
+                b.replace(part=pad_partitioned(pb, s_cap, e_cap,
+                                               force_spill=any_spill))
+                for b, pb in zip(batches, pbs)
             ]
         return batches
 

@@ -156,3 +156,43 @@ def test_partition_batch_routes_cross_shard_spill(rng):
                 cross += 1
     assert cross > 0
     assert send.shape[0] == send.shape[1] == 4
+
+
+def test_partitioned_without_ambient_mesh(rng):
+    """The CLI exposes segment_impl='banded_partitioned' without any mesh
+    setup: the operator must fall back to a local mesh over n_shards
+    devices instead of crashing in shard_map (regression: mesh=None with
+    no ambient 'model' axis raised at trace time)."""
+    batch = _packed(n_shards=1)
+    pb = partition_batch(batch, 1)
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, 32)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    ctx = make_agg_context(batch)
+    want = np.asarray(banded_sage_aggregate(x, ctx, aggr="add"))
+    got = np.asarray(
+        jax.jit(lambda v: partitioned_sage_aggregate(v, pb))(x)
+    )
+    mask = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-5, atol=1e-5)
+
+
+def test_pad_partitioned_matches_recompute(rng):
+    """pad_partitioned(pb, caps) == partition_batch(batch, caps) output
+    behaviorally: the padded shards aggregate identically."""
+    from buckgnn_tpu.parallel.partitioned import pad_partitioned
+
+    batch = _packed(n_graphs=8, seed=4, n_shards=4)
+    pb = partition_batch(batch, 4)
+    s_cap = int(pb.send_idx.shape[-1]) + 16
+    e_cap = int(pb.recv_perm.shape[-1]) + 24
+    padded = pad_partitioned(pb, s_cap, e_cap, force_spill=True)
+    ref = partition_batch(batch, 4, spill_cap=s_cap, recv_cap=e_cap,
+                          force_spill=True)
+    mesh = _mesh(4)
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, 32)), jnp.float32)
+    x = x.at[batch.dead_node_index].set(0.0)
+    a = np.asarray(jax.jit(
+        lambda v: partitioned_sage_aggregate(v, padded, mesh=mesh))(x))
+    b = np.asarray(jax.jit(
+        lambda v: partitioned_sage_aggregate(v, ref, mesh=mesh))(x))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
