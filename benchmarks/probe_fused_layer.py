@@ -93,6 +93,41 @@ def unit_checks():
         *a, ctx, skip=True, rate=RATE, seed=seed, deterministic=False))(
         x, w_l, b_l, w_r)
     assert (np.asarray(zt2, np.float32) == zt).all(), "same seed must repeat"
+
+    # fwd/bwd dropout STREAM IDENTITY: the backward regenerates the mask
+    # from the same per-(seed, tile) streams (fwd kernel is 4-tile
+    # unrolled, merged bwd 2-tile — both key on the ABSOLUTE tile index).
+    # Decisive check: extract the ACTUAL mask from the forward's zeros,
+    # rebuild the loss in XLA with that exact mask, and compare ANALYTIC
+    # gradients. (A finite-difference check is useless here: the bf16
+    # input cast swallows the perturbation non-uniformly.)
+    keep = jnp.asarray(zt != 0.0, jnp.float32)
+    scale = dropout_scale(RATE)
+
+    def loss_ref_masked(xx, wl):
+        agg = banded_sage_aggregate(xx, ctx, aggr="add")
+        out = (agg.astype(jnp.float32) @ wl.astype(jnp.float32)
+               + b_l.astype(jnp.float32)
+               + xx.astype(jnp.float32) @ w_r.astype(jnp.float32))
+        y = l2_normalize(out)
+        r = jnp.maximum(y, 0.0) + xx.astype(jnp.float32)
+        return jnp.sum(keep * r * scale * probe.astype(jnp.float32))
+
+    def loss_fused(xx, wl):
+        zz = fsl.fused_sage_layer(xx, wl, b_l, w_r, ctx, skip=True,
+                                  rate=RATE, seed=seed,
+                                  deterministic=False)
+        return jnp.sum(zz.astype(jnp.float32) * probe.astype(jnp.float32))
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, w_l)
+    gr = jax.jit(jax.grad(loss_ref_masked, argnums=(0, 1)))(x, w_l)
+    for a, b, name in zip(gf, gr, ("dx", "dW_l")):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        print(f"dropout-stream grad parity {name}: max rel {rel:.5f}",
+              flush=True)
+        assert rel < 0.03, (name, rel)
     print("unit checks OK", flush=True)
 
 
