@@ -81,3 +81,30 @@ def test_windowed_grads_match_xla(rng):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_win)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_windowed_with_remat_grads(rng):
+    """h >= 256 turns block remat on by default: nn.remat(GraphNetBlock)
+    must trace through the windowed args (arrays in the `windows` tuple,
+    static geometry as a module attribute) and reproduce the non-remat
+    gradients exactly."""
+    batch, ds = _packed(seed=5)
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=256, num_layers=2, pooling_layer="mean",
+        dropout_rate=0.0, model_name="EA_GNN_Shared",
+        impl="banded_pallas",
+    )
+    m_remat = BuckGNN(remat=None, **kwargs)   # auto-on at h=256
+    m_plain = BuckGNN(remat=False, **kwargs)
+    variables = m_plain.init(jax.random.key(0), batch, deterministic=True)
+
+    def loss(model, v):
+        pred, _ = model.apply(v, batch, deterministic=True)
+        return jnp.sum(pred * jnp.asarray(batch.graph_mask, pred.dtype))
+
+    g_r = jax.grad(lambda v: loss(m_remat, v))(variables)
+    g_p = jax.grad(lambda v: loss(m_plain, v))(variables)
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
