@@ -25,12 +25,15 @@ V100_TRAIN_EDGES_PER_S_EST = 5.0e6
 def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                       min_side=24, max_side=32, n_graphs=None,
                       impl="banded_pallas", compute_dtype="bfloat16",
-                      band_width=128, band_tile=256, use_super_node=False,
+                      band_width=None, band_tile=256, use_super_node=False,
                       use_virtual_edges=None):
+    """band_width=None auto-selects via select_band_geometry (the same
+    source of truth the trainer uses); the bench meshes band fully at
+    width 64 (supernode stars are analytic and never enter the band)."""
     import jax
 
     from buckgnn_tpu.config import TrainConfig
-    from buckgnn_tpu.graph.batch import batch_iterator
+    from buckgnn_tpu.graph.batch import batch_iterator, select_band_geometry
     from buckgnn_tpu.graph.normalizer import normalize_dataset
     from buckgnn_tpu.graph.synthetic import generate_dataset
     from buckgnn_tpu.train.losses import get_loss_function
@@ -54,7 +57,14 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     n_real = sum(g.n_node for g in normed) + 1  # + dead node
     e_real = sum(g.n_edge for g in normed)
     ecap = ((e_real + 255) // 128) * 128
-    bw = band_width if impl.startswith("banded") else None
+    if impl.startswith("banded"):
+        if band_width is None:
+            band_tile, band_width = select_band_geometry(
+                normed, tile=band_tile
+            )
+        bw = band_width
+    else:
+        bw = None
     if bw is not None:
         # 4-tile alignment so the Pallas kernels' unrolls engage
         align = 4 * band_tile

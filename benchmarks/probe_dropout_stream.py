@@ -81,7 +81,12 @@ def run(virtual, align4):
         assert rel < 0.03, (tag, name, rel)
 
 
-run(virtual=False, align4=True)    # merged bwd, fwd unroll 4
-run(virtual=True, align4=True)     # split bwd (spill), fwd unroll 4
-run(virtual=True, align4=False)    # split bwd, odd tile count
-print("MASK CHECK OK", flush=True)
+def run_all():
+    run(virtual=False, align4=True)    # merged bwd, fwd unroll 4
+    run(virtual=True, align4=True)     # split bwd (spill), fwd unroll 4
+    run(virtual=True, align4=False)    # split bwd, odd tile count
+    print("MASK CHECK OK", flush=True)
+
+
+if __name__ == "__main__":
+    run_all()

@@ -751,12 +751,22 @@ def select_band_geometry(
     for width in widths:
         total = in_band = 0
         for g in graphs:
+            s = np.asarray(g.senders, dtype=np.int64)
+            r = np.asarray(g.receivers, dtype=np.int64)
+            if g.supernode >= 0:
+                # supernode star edges never enter the band — pack_graphs
+                # handles full stars analytically (per-graph correction
+                # tables, _band_split analytic_supernode=True). Counting
+                # them here made every supernode dataset look ~25%
+                # out-of-band and forced the widest band for nothing.
+                keep = (s != g.supernode) & (r != g.supernode)
+                s, r = s[keep], r[keep]
+            if not len(s):
+                continue
             pos = np.arange(g.n_node, dtype=np.int64)
-            frac = native.band_fraction(
-                g.senders, g.receivers, pos, g.n_node, tile, width
-            )
-            in_band += frac * g.n_edge
-            total += g.n_edge
+            frac = native.band_fraction(s, r, pos, g.n_node, tile, width)
+            in_band += frac * len(s)
+            total += len(s)
         if total == 0 or in_band / total >= 1.0 - target_spill:
             return tile, int(width)
     return tile, int(widths[-1])

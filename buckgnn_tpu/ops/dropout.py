@@ -28,15 +28,24 @@ import jax
 import jax.numpy as jnp
 
 
-def dropout_threshold(rate: float) -> int:
-    """uint32 threshold for a keep probability of ``1 - rate``."""
-    thr = int(round((1.0 - rate) * 2.0**32))
-    return max(1, min(2**32 - 1, thr))
+def dropout_threshold(rate: float, bits: int = 32) -> int:
+    """Unsigned ``bits``-wide threshold for a keep probability of
+    ``1 - rate``.
+
+    ``bits`` < 32 quantizes the keep probability to ``thr / 2**bits``
+    (the fused kernels slice several sub-word thresholds out of each
+    hardware PRNG word — see pallas_sage_layer.DROPOUT_BITS); the scale
+    below uses the *quantized* probability so E[dropout(x)] == x stays
+    exact at any width. At 8 bits the realized rate deviates from the
+    nominal one by at most 1/256 (e.g. 0.1016 for rate=0.1).
+    """
+    thr = int(round((1.0 - rate) * 2.0**bits))
+    return max(1, min(2**bits - 1, thr))
 
 
-def dropout_scale(rate: float) -> float:
+def dropout_scale(rate: float, bits: int = 32) -> float:
     """Exact inverse of the quantized keep probability."""
-    return 2.0**32 / dropout_threshold(rate)
+    return 2.0**bits / dropout_threshold(rate, bits)
 
 
 def dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:

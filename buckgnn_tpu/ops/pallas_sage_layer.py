@@ -84,6 +84,47 @@ def _pick_unroll(n_tiles: int, top: int) -> int:
 # matvec's relayout + issue overhead exceeds the VPU lane-reduce cost.
 ROWSUM_MXU = False
 
+# PROBE-ONLY (benchmarks/probe_epilogue_cost.py): attribute the forward
+# kernel's time above its MXU floor. "full" = production. "nonorm" skips
+# the L2-norm row-sum/rsqrt (inv := 1). "bare" additionally skips
+# relu/skip/dropout (z := out). Both produce WRONG values — never set
+# outside a probe.
+PROBE_EPILOGUE = "full"
+
+# Width of the dropout threshold compare. 32 = one hardware-PRNG word per
+# element; 16/8 slice 2/4 thresholds out of each word, quartering/halving
+# the in-kernel PRNG generation in BOTH passes at the cost of a few
+# quarter-size shift/mask/compare ops and a lane concat. The keep
+# probability quantizes to thr/2^bits with the scale tracking it exactly
+# (ops/dropout.py). Trace-time switch; forward and backward read it at
+# the same trace so the regenerated masks always agree.
+DROPOUT_BITS = 32
+
+
+def _keep_mask(shape: tuple, thr: int) -> jnp.ndarray:
+    """[T, H] bool keep mask from the seeded in-kernel PRNG.
+
+    thr is dropout_threshold(rate, DROPOUT_BITS). For sub-word widths the
+    H axis is covered by k = 32/bits slices of a [T, H/k] word array;
+    element (i, j) takes byte/halfword j // (H/k) of word (i, j % (H/k)).
+    The assignment of PRNG bits to elements is an arbitrary bijection —
+    only fwd/bwd agreement matters, and both run this exact code.
+    """
+    bits = DROPOUT_BITS
+    if bits == 32:
+        w = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return w < jnp.uint32(thr)
+    k = 32 // bits
+    t, h = shape
+    assert h % k == 0, "feature dim must divide the PRNG word slicing"
+    words = pltpu.bitcast(pltpu.prng_random_bits((t, h // k)), jnp.uint32)
+    mask = jnp.uint32(2**bits - 1)
+    parts = [
+        ((words >> jnp.uint32(bits * i)) & mask) < jnp.uint32(thr)
+        for i in range(k)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
 
 def _rowsum(v: jnp.ndarray) -> jnp.ndarray:
     """[T, H] f32 -> [T, 1] row sums."""
@@ -230,20 +271,25 @@ def _fwd_kernel(
         staged.append((t, out, agg, x_tile))
 
     for j, (t, out, agg, x_tile) in enumerate(staged):
-        # row-sum stays on the VPU (the MXU ones-matvec variant measured
-        # slower — see ROWSUM_MXU)
-        sq = _rowsum(out * out)
-        inv = jax.lax.rsqrt(jnp.maximum(sq, jnp.float32(1e-24)))
+        if PROBE_EPILOGUE == "full":
+            # row-sum stays on the VPU (the MXU ones-matvec variant
+            # measured slower — see ROWSUM_MXU)
+            sq = _rowsum(out * out)
+            inv = jax.lax.rsqrt(jnp.maximum(sq, jnp.float32(1e-24)))
+        else:  # probe: skip the norm reduce
+            inv = jnp.ones((out.shape[0], 1), jnp.float32)
         y = out * inv
 
-        r = jnp.maximum(y, jnp.float32(0.0))
-        if skip:
-            r = r + x_tile.astype(jnp.float32)
-        if thr is not None:
-            _seed_tile(seed_ref, t)
-            bits = pltpu.bitcast(pltpu.prng_random_bits(r.shape), jnp.uint32)
-            keep = bits < jnp.uint32(thr)
-            r = jnp.where(keep, r * jnp.float32(scale), jnp.float32(0.0))
+        if PROBE_EPILOGUE == "bare":  # probe: skip the whole epilogue
+            r = y
+        else:
+            r = jnp.maximum(y, jnp.float32(0.0))
+            if skip:
+                r = r + x_tile.astype(jnp.float32)
+            if thr is not None:
+                _seed_tile(seed_ref, t)
+                keep = _keep_mask(r.shape, thr)
+                r = jnp.where(keep, r * jnp.float32(scale), jnp.float32(0.0))
 
         row = pl.ds(j * tile, tile)
         z = r.astype(x_dtype)
@@ -298,8 +344,9 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         spill_lo = jnp.zeros((n_tiles, tile, 1), jnp.int32)
         spill_hi = jnp.zeros((n_tiles, tile, 1), jnp.int32)
         spill_messages = jnp.zeros((SPILL_CHUNK, h), x.dtype)
-    thr = dropout_threshold(rate) if (training and rate > 0.0) else None
-    scale = dropout_scale(rate) if thr is not None else None
+    active = training and rate > 0.0
+    thr = dropout_threshold(rate, DROPOUT_BITS) if active else None
+    scale = dropout_scale(rate, DROPOUT_BITS) if thr is not None else None
     unroll = _pick_unroll(n_tiles, _UNROLL_FWD)
 
     kern = functools.partial(
@@ -394,8 +441,7 @@ def _bwd_kernel(
     dz = dz_ref[...].astype(jnp.float32)
     if thr is not None:
         _seed_tile(seed_ref, t)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(dz.shape), jnp.uint32)
-        keep = bits < jnp.uint32(thr)
+        keep = _keep_mask(dz.shape, thr)
         dz = jnp.where(keep, dz * jnp.float32(scale), jnp.float32(0.0))
     y = y_ref[...].astype(jnp.float32)
     dy = jnp.where(y > 0.0, dz, jnp.float32(0.0))
@@ -527,10 +573,7 @@ def _bwd_merged_kernel(
                 dz_eff = dz
             if thr is not None:
                 _seed_tile(seed_ref, t)
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(dz_eff.shape), jnp.uint32
-                )
-                keep = bits < jnp.uint32(thr)
+                keep = _keep_mask(dz_eff.shape, thr)
                 dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
                                    jnp.float32(0.0))
             y = y_ref[row, :].astype(jnp.float32)
@@ -650,8 +693,9 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     unroll = _pick_unroll(n_tiles, _UNROLL_BWD)
     n_steps = n_tiles // unroll
     ring_n, hold_n = 2 * unroll + 2, 2 * unroll
-    thr = dropout_threshold(rate) if training_rate_active else None
-    scale = dropout_scale(rate) if thr is not None else None
+    thr = (dropout_threshold(rate, DROPOUT_BITS)
+           if training_rate_active else None)
+    scale = dropout_scale(rate, DROPOUT_BITS) if thr is not None else None
     if not has_super:
         gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
     if not apply_prev:
@@ -722,8 +766,9 @@ def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
                    rate, training_rate_active, interpret, has_super, tg):
     n, h = dz.shape
     n_tiles = n // tile
-    thr = dropout_threshold(rate) if training_rate_active else None
-    scale = dropout_scale(rate) if thr is not None else None
+    thr = (dropout_threshold(rate, DROPOUT_BITS)
+           if training_rate_active else None)
+    scale = dropout_scale(rate, DROPOUT_BITS) if thr is not None else None
     if not has_super:
         gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
     kern = functools.partial(

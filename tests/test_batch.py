@@ -130,3 +130,27 @@ def test_select_band_geometry_scrambled_mesh():
         spill += int((np.asarray(b.spill2_receivers) != dead).sum())
         real += int(np.asarray(b.edge_mask).sum())
     assert spill / real <= target * 2.5  # packed-tile phase slack
+
+
+def test_select_band_geometry_ignores_supernode_stars():
+    """Supernode star edges are handled analytically at pack time
+    (never in the band), so width selection must not count them: a
+    banded grid dataset with supernodes should still get the smallest
+    width, and the chosen geometry must pack spill-free."""
+    from buckgnn_tpu.graph.batch import select_band_geometry
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+
+    ds = generate_dataset(6, seed=3, min_side=8, max_side=12,
+                          use_super_node=True, use_virtual_edges=False)
+    assert all(g.supernode >= 0 for g in ds)
+    tile, width = select_band_geometry(ds)
+    # star edges are ~2n of ~6n per graph; counting them caps in-band
+    # around 0.75 and would force the widest candidate
+    assert width == 64, width
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, tile + width) + tile - 1) // tile) * tile
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    b = next(iter(batch_iterator(ds, 6, ncap, ecap, band_width=width,
+                                 band_tile=tile, rcm=True)))
+    assert not b.has_spill_edges and not b.has_spill2_edges
+    assert b.has_supernode_edges
