@@ -45,7 +45,8 @@ def main():
     seed = jnp.asarray([1, 2], jnp.int32)
     tile = batch.band_tile
     n_tiles = n // tile
-    tg = fsl._round8(2 * batch.n_graph_cap)
+    from buckgnn_tpu.graph.batch import star_table_geometry
+    _t0, tg = star_table_geometry(batch.n_graph_cap)
     print(f"shape: n={n} h={h} tiles={n_tiles} tg={tg} "
           f"band_dtype={ctx.band.dtype} has_spill={batch.has_spill_edges}",
           flush=True)

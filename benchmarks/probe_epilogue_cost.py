@@ -45,7 +45,8 @@ def main():
     ctx = make_agg_context(batch, band_dtype=jnp.bfloat16, use_pallas=True)
     n, h = batch.n_node_cap, 512
     tile, width = batch.band_tile, batch.band_width
-    tg = fsl._round8(2 * batch.n_graph_cap)
+    from buckgnn_tpu.graph.batch import star_table_geometry
+    _t0, tg = star_table_geometry(batch.n_graph_cap)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(n, h)) * 0.1, jnp.bfloat16)
     w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
@@ -56,13 +57,15 @@ def main():
     gcode, gacc = batch.gcode, batch.gacc
     print(f"n={n} tiles={n // tile} width={width}", flush=True)
 
-    def fwd(x, save_res, rate, super_):
+    def fwd(x, save_res, rate, super_, local=False):
         outs = fsl._call_fwd(
             x, w_l, b_l, w_r, ctx.band, batch.spill_offsets, batch.spill_lo,
             batch.spill_hi, jnp.zeros((0, 0), x.dtype), seed, gcode, table,
-            gacc, tile=tile, width=width, has_spill=False, skip=True,
+            gacc, batch.gwin, batch.lcode, tile=tile, width=width,
+            has_spill=False, skip=True,
             rate=rate, training=rate > 0.0, save_res=save_res,
             interpret=False, has_super=super_, emit_table=False,
+            local_star=local and batch.gwin is not None,
         )
         return outs[0]
 

@@ -52,7 +52,8 @@ def main():
     n, h = batch.n_node_cap, 512
     tile, width = batch.band_tile, batch.band_width
     n_tiles = n // tile
-    tg = fsl._round8(2 * batch.n_graph_cap)
+    from buckgnn_tpu.graph.batch import star_table_geometry
+    _t0, tg = star_table_geometry(batch.n_graph_cap)
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(n, h)) * 0.1, jnp.bfloat16)
     w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
@@ -70,9 +71,11 @@ def main():
         outs = fsl._call_fwd(
             x, w_l, b_l, w_r, band, batch.spill_offsets, batch.spill_lo,
             batch.spill_hi, jnp.zeros((0, 0), x.dtype), seed, gcode, table,
-            gacc, tile=tile, width=width, has_spill=False, skip=True,
+            gacc, batch.gwin, batch.lcode, tile=tile, width=width,
+            has_spill=False, skip=True,
             rate=rate, training=rate > 0.0, save_res=save_res,
             interpret=False, has_super=True, emit_table=emit,
+            local_star=batch.gwin is not None,
         )
         return outs[0]
 
@@ -99,9 +102,10 @@ def main():
     def bwd(dz, band):
         return fsl._call_bwd_merged(
             dz, y, inv, agg, x0, w_l, w_r, seed, gacc, gcode, tprev, band,
+            batch.gwin, batch.lcode, batch.lacc,
             tile=tile, width=width, skip=True, rate=0.1,
             training_rate_active=True, interpret=False, has_super=True,
-            apply_prev=True, tg=tg,
+            apply_prev=True, tg=tg, local_star=batch.gwin is not None,
         )[0]
 
     for name, band in bands.items():

@@ -64,7 +64,8 @@ def main():
     # bwd tile kernel in isolation
     tile = batch.band_tile
     n_tiles = n // tile
-    tg = fsl._round8(2 * batch.n_graph_cap)
+    from buckgnn_tpu.graph.batch import star_table_geometry
+    _t0, tg = star_table_geometry(batch.n_graph_cap)
     dz = jnp.asarray(rng.normal(size=(n, h)) * 0.1, jnp.bfloat16)
     y = jnp.asarray(rng.normal(size=(n, h)) * 0.1, jnp.bfloat16)
     inv = jnp.asarray(rng.uniform(0.5, 2.0, size=(n, 1)), jnp.float32)

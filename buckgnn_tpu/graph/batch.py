@@ -121,6 +121,19 @@ class GraphBatch:
     gcode: jnp.ndarray | None = None        # [n_tiles, T, 1] int32
     gacc: jnp.ndarray | None = None         # [n_tiles, 1, T] int32
     super_mask: jnp.ndarray | None = None   # [N] float32
+    # per-tile LOCAL star-table windows: graphs pack contiguously, so a
+    # node tile intersects only a few graphs — the fused kernels select
+    # against a [2*LOCAL_STAR_ROWS, H] slice of the correction table
+    # (K=32 matmul) instead of the full [tg, H] (K~tg, measured
+    # 0.23 ms/layer at flagship shape). gwin[t] is the 8-aligned window
+    # base (codes [wb, wb+GW) in the broadcast half and [T0+wb, ..) in
+    # the star half); lcode/lacc are gcode/gacc re-encoded relative to
+    # the window (member -> g-wb, star row -> GW+(g-wb), sentinel 2GW).
+    # None when any tile's graph span exceeds LOCAL_STAR_ROWS (tiny
+    # graphs) — kernels then use the full-table path.
+    gwin: jnp.ndarray | None = None         # [n_tiles] int32
+    lcode: jnp.ndarray | None = None        # [n_tiles, T, 1] int32
+    lacc: jnp.ndarray | None = None         # [n_tiles, 1, T] int32
     # optional edge-partitioned shards for the multi-device 'model' path
     # (parallel/partitioned.py::PartitionedBatch, attached via
     # `batch.replace(part=partition_batch(batch, D))`)
@@ -208,6 +221,25 @@ def capacity_for(
 # guaranteed by the window-invariant assert in _host_spill_ranges).
 SPILL_CHUNK = 256
 SPILL_ALIGN = 16
+
+# Rows per half of the per-tile local star-table window (GraphBatch.gwin
+# / lcode / lacc). Fixed (not data-derived) so every batch of a run
+# shares one treedef; batches whose tiles span more graphs than this
+# fall back to the full-table selection path.
+LOCAL_STAR_ROWS = 16
+
+
+def star_table_geometry(g_cap: int) -> tuple[int, int]:
+    """(T0, tg) for the supernode star correction table.
+
+    Broadcast rows (each graph's supernode features) live at [0, g_cap);
+    star-sum rows (graph_sum - supernode) at [T0, T0 + g_cap). T0 is
+    8-row aligned so per-tile local windows (gwin) slice BOTH halves at
+    sublane-aligned offsets; total rows tg = 2*T0 doubles as the
+    sentinel code that selects nothing.
+    """
+    t0 = ((g_cap + 7) // 8) * 8
+    return t0, 2 * t0
 _SPILL_TILE_CAP = SPILL_CHUNK - SPILL_ALIGN + 1
 _SPILL_TILE_CAP_LAST = _SPILL_TILE_CAP - 127
 
@@ -461,7 +493,7 @@ def pack_graphs(
         super_kw: dict = {}
         if has_super:
             g_cap = n_graph_cap
-            tg = ((2 * g_cap + 7) // 8) * 8  # sentinel (matches _round8)
+            t0, tg = star_table_geometry(g_cap)
             is_super = np.zeros(n_node_cap, dtype=bool)
             real_super = supernode_index < dead
             is_super[supernode_index[real_super]] = True
@@ -470,9 +502,9 @@ def pack_graphs(
             member = graph_has[node_graph] & node_mask & ~is_super
             g = node_graph.astype(np.int64)
             gcode_host = np.where(member, g,
-                                  np.where(is_super, g_cap + g, tg))
+                                  np.where(is_super, t0 + g, tg))
             gacc_host = np.where(is_super, g,
-                                 np.where(node_mask, g_cap + g, tg))
+                                 np.where(node_mask, t0 + g, tg))
             # pre-shaped for the kernels' BlockSpecs (a per-step reshape
             # from [N] re-tiles the array: ~0.17 ms on a v5e). gcode is a
             # [T, 1] column (selects table rows per node); gacc is a
@@ -492,6 +524,37 @@ def pack_graphs(
                 ),
                 super_mask=jnp.asarray(member.astype(np.float32)),
             )
+            # per-tile local star-table windows (see GraphBatch.gwin):
+            # graphs pack contiguously, so the non-sentinel codes of one
+            # tile span a short contiguous graph range
+            # gw depends only on g_cap (uniform across a run's batches);
+            # the kernels derive the same value from tg
+            gw = min(LOCAL_STAR_ROWS, t0)
+            coded = (gcode_host != tg) | (gacc_host != tg)
+            gv = np.where(coded, g, np.iinfo(np.int64).max).reshape(
+                n_tiles_b, band_tile)
+            gx = np.where(coded, g, -1).reshape(n_tiles_b, band_tile)
+            gmin, gmax = gv.min(axis=1), gx.max(axis=1)
+            nonempty = gmax >= 0
+            base = np.where(nonempty, (np.minimum(gmin, gmax) // 8) * 8, 0)
+            span = np.where(nonempty, gmax - base + 1, 0)
+            if int(span.max(initial=0)) <= gw:
+                # clamped windows still cover: base > t0-gw implies
+                # gmin > t0-gw, and gmax <= g_cap-1 <= t0-1 < wb+gw
+                wb = np.clip(base, 0, t0 - gw).astype(np.int64)
+                rel = g - np.repeat(wb, band_tile)
+                lcode_host = np.where(
+                    member, rel, np.where(is_super, gw + rel, 2 * gw))
+                lacc_host = np.where(
+                    is_super, rel,
+                    np.where(node_mask, gw + rel, 2 * gw))
+                super_kw.update(
+                    gwin=jnp.asarray(wb.astype(np.int32)),
+                    lcode=jnp.asarray(lcode_host.astype(np.int32).reshape(
+                        n_tiles_b, band_tile, 1)),
+                    lacc=jnp.asarray(lacc_host.astype(np.int32).reshape(
+                        n_tiles_b, 1, band_tile)),
+                )
         win_kw: dict = {}
         if fe_dim:
             # per-receiver-tile edge windows for edge-dense models
@@ -667,6 +730,12 @@ def batch_iterator(
     batches = list(packed())
     any_spill = any(b.has_spill_edges for b in batches)
     any_spill2 = any(b.has_spill2_edges for b in batches)
+    # local star-table windows are all-or-nothing across the run (same
+    # treedef): if any batch's tiles span too many graphs, strip them all
+    if any(b.gcode is not None and b.gwin is None for b in batches):
+        batches = [
+            b.replace(gwin=None, lcode=None, lacc=None) for b in batches
+        ]
     # edge-window caps (W, F) must also match across batches for one
     # compiled shape / DP stacking — pad every batch to the run maxima
     # (pads carry sentinel indices / out-of-bounds positions, so they are

@@ -28,11 +28,17 @@ to the direct part. Dropout bits are regenerated from the seed
 agg only.
 
 Supernode stars (the thesis flagship config) are exact: a per-graph
-correction table ([2G, H], built per layer from the layer input by cheap
-XLA segment ops) lives whole in VMEM, and each row's contribution is one
-iota-compare selection matmul — broadcast rows pick table row g, the
-supernode row picks G+g (graph_sum - own features), everyone else a
-sentinel that matches nothing.
+correction table ([tg, H], star_table_geometry layout — broadcast rows
+at [0, G), star sums at [T0, T0+G) with T0 = round8(G) — built per
+layer from the layer input by cheap XLA segment ops) lives whole in
+VMEM, and each row's contribution is one iota-compare selection matmul:
+broadcast rows pick table row g, the supernode row picks T0+g
+(graph_sum - own features), everyone else a sentinel that matches
+nothing. Because graphs pack contiguously, a node tile intersects only
+a few graphs: with batch.gwin/lcode/lacc present the kernels slice a
+[2*GW, H] per-tile window out of the table (8-aligned dynamic slices)
+and select with a K=2*GW matmul instead of K=tg — the full-table
+selection measured 0.23 ms/layer at flagship shape (tg~264).
 
 Scope guards (callers fall back to the unfused path otherwise):
 aggr='add', normalize=True, H % 128 == 0, no spill2 overflow.
@@ -52,7 +58,9 @@ from jax import dtypes
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from buckgnn_tpu.graph.batch import SPILL_ALIGN, SPILL_CHUNK
+from buckgnn_tpu.graph.batch import (
+    LOCAL_STAR_ROWS, SPILL_ALIGN, SPILL_CHUNK, star_table_geometry,
+)
 from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
 
 # Slab-buffer depth and node tiles per grid step (matches
@@ -62,9 +70,17 @@ from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
 _NBUF = 8
 _UNROLL_FWD = 4
 # the merged backward holds 5 unroll-sized input blocks (double-buffered)
-# plus the dagg ring / dxp hold in scoped VMEM; unroll 4 exceeds the
-# 16 MB scoped-vmem limit on the v5e (measured: 17.8 MB)
-_UNROLL_BWD = 2
+# plus the dagg ring / dxp hold in scoped VMEM; unroll 4 needs ~18 MB —
+# over the 16 MB COMPILER-DEFAULT scoped-vmem limit but nowhere near the
+# 128 MB physical VMEM, so the kernel raises vmem_limit_bytes and takes
+# the deeper unroll (measured: 19.7 -> 19.2 ms/step at flagship shape)
+_UNROLL_BWD = 4
+
+# Per-kernel scoped-VMEM ceiling (pltpu.CompilerParams.vmem_limit_bytes).
+# The 16 MB default is a compiler heuristic, not hardware: raising it
+# admits deeper unrolls/buffers; the kernels above stay well under the
+# 128 MB physical VMEM.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _pick_unroll(n_tiles: int, top: int) -> int:
@@ -169,10 +185,10 @@ def _seed_tile(seed_ref, t):
 
 def _fwd_kernel(
     # scalar-prefetch / SMEM
-    spill_off_ref, seed_ref,
+    spill_off_ref, seed_ref, wbase_ref,
     # VMEM blocks
     band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref,
-    table_ref, gacc_ref,
+    lcode_ref, table_ref, gacc_ref,
     # ANY (HBM)
     x_hbm, msgs_hbm,
     # outputs
@@ -180,6 +196,7 @@ def _fwd_kernel(
     # scratch appended after outputs by pallas_call
     tile, width, n_nodes, n_tiles, x_dtype, has_spill, n_spill,
     skip, thr, scale, save_res, has_super, tg, unroll, emit_table,
+    local_star,
 ):
     outs = list(outs)
     z_ref = outs.pop(0)
@@ -246,14 +263,32 @@ def _fwd_kernel(
 
         if has_super:
             # per-row one-hot over the per-graph correction table: rows
-            # [0, G) broadcast the graph's supernode features, rows [G, 2G)
-            # add the star sum into the supernode row; sentinel tg selects
-            # nothing
-            g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
-            selg = jnp.where(g_iota == gcode_ref[j], jnp.float32(1),
-                             jnp.float32(0))
-            acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
-                                preferred_element_type=jnp.float32)
+            # [0, G) broadcast the graph's supernode features, rows
+            # [T0, T0+G) add the star sum into the supernode row; the
+            # sentinel code selects nothing
+            if local_star:
+                # graphs are contiguous, so this tile's codes live in a
+                # [2*GW, H] window of the table: slice both halves at the
+                # 8-aligned per-tile base and select with a K=2*GW matmul
+                # instead of K=tg (measured 0.23 ms/layer at K~264)
+                gw = min(LOCAL_STAR_ROWS, tg // 2)
+                wb = pl.multiple_of(wbase_ref[t], 8)
+                ltab = jnp.concatenate(
+                    [table_ref[pl.ds(wb, gw), :],
+                     table_ref[pl.ds(pl.multiple_of(tg // 2 + wb, 8),
+                                     gw), :]], axis=0)
+                g_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, 2 * gw), 1)
+                selg = jnp.where(g_iota == lcode_ref[j], jnp.float32(1),
+                                 jnp.float32(0))
+                acc = acc + jnp.dot(selg.astype(x_dtype), ltab,
+                                    preferred_element_type=jnp.float32)
+            else:
+                g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
+                selg = jnp.where(g_iota == gcode_ref[j], jnp.float32(1),
+                                 jnp.float32(0))
+                acc = acc + jnp.dot(selg.astype(x_dtype), table_ref[...],
+                                    preferred_element_type=jnp.float32)
 
         agg = acc.astype(x_dtype)
 
@@ -326,9 +361,9 @@ def _fwd_kernel(
 
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
-              spill_messages, seed, gcode, table, gacc, *, tile, width,
-              has_spill, skip, rate, training, save_res, interpret,
-              has_super, emit_table):
+              spill_messages, seed, gcode, table, gacc, gwin, lcode, *,
+              tile, width, has_spill, skip, rate, training, save_res,
+              interpret, has_super, emit_table, local_star):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
@@ -337,6 +372,11 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         table = jnp.zeros((8, h), x.dtype)
     if not emit_table:
         gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
+    if not local_star:
+        gwin = jnp.zeros((n_tiles,), jnp.int32)
+        lcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+    if local_star:
+        gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)  # unused block
     tg = table.shape[0]
     n_spill = spill_messages.shape[0] if has_spill else SPILL_CHUNK
     if not has_spill:
@@ -353,7 +393,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         x_dtype=x.dtype, has_spill=has_spill, n_spill=n_spill, skip=skip,
         thr=thr, scale=scale, save_res=save_res, has_super=has_super,
-        tg=tg, unroll=unroll, emit_table=emit_table,
+        tg=tg, unroll=unroll, emit_table=emit_table, local_star=local_star,
     )
     out_block = pl.BlockSpec((unroll * tile, h), lambda p: (p, 0),
                              memory_space=pltpu.VMEM)
@@ -391,6 +431,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # spill_off
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wbase (gwin)
             pl.BlockSpec((unroll, tile, slab), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # band
             pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
@@ -405,6 +446,8 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
                          memory_space=pltpu.VMEM),  # w_r
             pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # gcode
+            pl.BlockSpec((unroll, tile, 1), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),  # lcode
             pl.BlockSpec((tg, h), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),  # table
             pl.BlockSpec((unroll, 1, tile), lambda p: (p, 0, 0),
@@ -416,8 +459,9 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(spill_off, seed, band, spill_lo, spill_hi, w_l, b_l, w_r, gcode,
-      table, gacc, x, spill_messages)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(spill_off, seed, gwin, band, spill_lo, spill_hi, w_l, b_l, w_r,
+      gcode, lcode, table, gacc, x, spill_messages)
     return outs
 
 
@@ -533,12 +577,12 @@ def _bwd_kernel(
 
 
 def _bwd_merged_kernel(
-    seed_ref,
-    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wlr_ref, gacc_ref,
-    gcode_ref, tprev_ref, band_ref,
+    seed_ref, wbase_ref,
+    dz_ref, y_ref, inv_ref, agg_ref, x_ref, wlr_ref, gacc_ref, lacc_ref,
+    gcode_ref, lcode_ref, tprev_ref, band_ref,
     *outs,
     tile, width, x_dtype, skip, thr, scale, n_tiles, has_super,
-    apply_prev, tg, unroll,
+    apply_prev, tg, unroll, local_star,
 ):
     outs = list(outs)
     dx_ref, dwl_ref, dwr_ref, dbl_ref = outs[:4]
@@ -564,11 +608,28 @@ def _bwd_merged_kernel(
                 # pending star of the NEXT layer (threaded table_prev):
                 # the cotangent this kernel received is missing
                 # table_prev[gcode]
-                g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tg), 1)
-                selg = jnp.where(g_iota == gcode_ref[sub],
-                                 jnp.float32(1), jnp.float32(0))
-                dz_eff = dz + jnp.dot(selg.astype(x_dtype), tprev_ref[...],
-                                      preferred_element_type=jnp.float32)
+                if local_star:
+                    gw = min(LOCAL_STAR_ROWS, tg // 2)
+                    wb = pl.multiple_of(wbase_ref[t], 8)
+                    ltab = jnp.concatenate(
+                        [tprev_ref[pl.ds(wb, gw), :],
+                         tprev_ref[pl.ds(pl.multiple_of(tg // 2 + wb, 8),
+                                         gw), :]], axis=0)
+                    g_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile, 2 * gw), 1)
+                    selg = jnp.where(g_iota == lcode_ref[sub],
+                                     jnp.float32(1), jnp.float32(0))
+                    dz_eff = dz + jnp.dot(
+                        selg.astype(x_dtype), ltab,
+                        preferred_element_type=jnp.float32)
+                else:
+                    g_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile, tg), 1)
+                    selg = jnp.where(g_iota == gcode_ref[sub],
+                                     jnp.float32(1), jnp.float32(0))
+                    dz_eff = dz + jnp.dot(
+                        selg.astype(x_dtype), tprev_ref[...],
+                        preferred_element_type=jnp.float32)
             else:
                 dz_eff = dz
             if thr is not None:
@@ -605,11 +666,41 @@ def _bwd_merged_kernel(
             )
             dbl_t = jnp.sum(dout, axis=0, keepdims=True)
             if has_super:
-                a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
-                sela = jnp.where(a_iota == gacc_ref[sub], jnp.float32(1),
-                                 jnp.float32(0))
-                tb = jnp.dot(sela.astype(x_dtype), dagg,
-                             preferred_element_type=jnp.float32)
+                if local_star:
+                    # accumulate into a [2*GW, H] window slice of tacc
+                    # (K=tile matmul with M=2*GW instead of M=tg)
+                    gw = min(LOCAL_STAR_ROWS, tg // 2)
+                    wb = pl.multiple_of(wbase_ref[t], 8)
+                    a_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (2 * gw, tile), 0)
+                    sela = jnp.where(a_iota == lacc_ref[sub],
+                                     jnp.float32(1), jnp.float32(0))
+                    tb = jnp.dot(sela.astype(x_dtype), dagg,
+                                 preferred_element_type=jnp.float32)
+
+                    def store_tb(first):
+                        if first:
+                            # windows only touch their own rows — zero
+                            # the whole accumulator before the first add
+                            tacc_ref[...] = jnp.zeros(
+                                (tg, tb.shape[1]), jnp.float32)
+                        tacc_ref[pl.ds(wb, gw), :] += tb[:gw]
+                        tacc_ref[
+                            pl.ds(pl.multiple_of(tg // 2 + wb, 8), gw), :
+                        ] += tb[gw:]
+                else:
+                    a_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (tg, tile), 0)
+                    sela = jnp.where(a_iota == gacc_ref[sub],
+                                     jnp.float32(1), jnp.float32(0))
+                    tb = jnp.dot(sela.astype(x_dtype), dagg,
+                                 preferred_element_type=jnp.float32)
+
+                    def store_tb(first):
+                        if first:
+                            tacc_ref[...] = tb
+                        else:
+                            tacc_ref[...] += tb
 
             if sub == 0:
                 @pl.when(p == 0)
@@ -618,7 +709,7 @@ def _bwd_merged_kernel(
                     dwr_ref[...] = dwr_t
                     dbl_ref[...] = dbl_t
                     if has_super:
-                        tacc_ref[...] = tb
+                        store_tb(True)
 
                 @pl.when(p > 0)
                 def _():
@@ -626,13 +717,13 @@ def _bwd_merged_kernel(
                     dwr_ref[...] += dwr_t
                     dbl_ref[...] += dbl_t
                     if has_super:
-                        tacc_ref[...] += tb
+                        store_tb(False)
             else:
                 dwl_ref[...] += dwl_t
                 dwr_ref[...] += dwr_t
                 dbl_ref[...] += dbl_t
                 if has_super:
-                    tacc_ref[...] += tb
+                    store_tb(False)
 
         if has_super:
             @pl.when(p == n_steps - 1)
@@ -684,9 +775,9 @@ def _bwd_merged_kernel(
 
 
 def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
-                     table_prev, band, *, tile, width, skip, rate,
-                     training_rate_active, interpret, has_super,
-                     apply_prev, tg):
+                     table_prev, band, gwin, lcode, lacc, *, tile, width,
+                     skip, rate, training_rate_active, interpret,
+                     has_super, apply_prev, tg, local_star):
     n, h = dz.shape
     n_tiles = n // tile
     assert n_tiles >= 2, "merged backward needs >= 2 node tiles"
@@ -701,10 +792,15 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     if not apply_prev:
         gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
         table_prev = jnp.zeros((tg, h), x.dtype)
+    if not local_star:
+        gwin = jnp.zeros((n_tiles,), jnp.int32)
+        lcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        lacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
     kern = functools.partial(
         _bwd_merged_kernel, tile=tile, width=width, x_dtype=x.dtype,
         skip=skip, thr=thr, scale=scale, n_tiles=n_tiles,
         has_super=has_super, apply_prev=apply_prev, tg=tg, unroll=unroll,
+        local_star=local_star,
     )
     last = n_steps - 1
     in_blk = pl.BlockSpec((unroll * tile, h),
@@ -753,13 +849,16 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
         kern,
         grid=(n_steps + 1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),  # wbase (gwin)
                   in_blk, in_blk, in_blkv, in_blk, in_blk, wide,
-                  in_gacc, in_gcode, tbl, in_band],
+                  in_gacc, in_gacc, in_gcode, in_gcode, tbl, in_band],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(seed, dz, y, inv, agg, x, wlr, gacc, gcode, table_prev, band)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, gwin, dz, y, inv, agg, x, wlr, gacc, lacc, gcode, lcode,
+      table_prev, band)
 
 
 def _call_bwd_tile(dz, y, inv, agg, x, w_l, w_r, seed, gacc, *, tile, skip,
@@ -822,29 +921,28 @@ def _zero_tangent(v):
 def _super_tables(x, node_graph, node_mask, sn, g_cap, tg):
     """Per-graph correction table for the supernode star (ops/banded.py
     semantics): rows [0, G) = the graph's supernode features (broadcast to
-    member nodes), rows [G, 2G) = graph_sum - supernode features (added
-    into the supernode row). Zero rows for graphs without a supernode;
-    padded to the sublane multiple. Only needed for the FIRST layer — each
-    fused layer accumulates the next layer's table in-kernel."""
+    member nodes), rows [T0, T0+G) = graph_sum - supernode features (added
+    into the supernode row), with T0 = round8(G) (star_table_geometry) so
+    per-tile local windows slice both halves at sublane-aligned offsets.
+    Zero rows for graphs without a supernode and in the alignment gaps.
+    Only needed for the FIRST layer — each fused layer accumulates the
+    next layer's table in-kernel."""
     from buckgnn_tpu.ops import segment
 
+    t0 = tg // 2
     gsum = segment.segment_sum_dense(x, node_graph, g_cap, keep=node_mask)
     xsn = x[sn]
     has_super = (sn < x.shape[0] - 1).astype(x.dtype)[:, None]
     t1 = xsn * has_super
     t2 = (gsum - xsn) * has_super
-    table = jnp.concatenate([t1, t2], axis=0)
-    pad = tg - table.shape[0]
-    if pad:
-        table = jnp.concatenate(
-            [table, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0
-        )
-    return table
+    gap = jnp.zeros((t0 - g_cap, x.shape[1]), x.dtype)
+    return jnp.concatenate([t1, gap, t2, gap], axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                 spill_hi, spill_s, seed, gcode, gacc, table, t_in):
+                 spill_hi, spill_s, seed, gcode, gacc, gwin, lcode, lacc,
+                 table, t_in):
     """Returns (z, t_out, ftab).
 
     ``ftab`` is the NEXT layer's forward star table, accumulated from z
@@ -874,12 +972,12 @@ def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
     emit = static["emit_table"]
     outs = list(_call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
-        gcode, table, gacc,
+        gcode, table, gacc, gwin, lcode,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"], save_res=False,
         interpret=static["interpret"], has_super=static["has_super"],
-        emit_table=emit,
+        emit_table=emit, local_star=static["local_star"],
     ))
     t_out = jnp.zeros_like(t_in)
     ftab = outs.pop() if emit else jnp.zeros((8, x.shape[1]), jnp.float32)
@@ -887,24 +985,25 @@ def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
 
 
 def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
-                     spill_hi, spill_s, seed, gcode, gacc, table, t_in):
+                     spill_hi, spill_s, seed, gcode, gacc, gwin, lcode,
+                     lacc, table, t_in):
     msgs = x[spill_s] if static["has_spill"] else jnp.zeros((0, 0), x.dtype)
     emit = static["emit_table"]
     outs = list(_call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
-        gcode, table, gacc,
+        gcode, table, gacc, gwin, lcode,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"], save_res=True,
         interpret=static["interpret"], has_super=static["has_super"],
-        emit_table=emit,
+        emit_table=emit, local_star=static["local_star"],
     ))
     t_out = jnp.zeros_like(t_in)
     ftab = outs.pop() if emit else jnp.zeros((8, x.shape[1]), jnp.float32)
     z, y, inv, agg = outs
     return (z, t_out, ftab), (x, w_l, w_r, y, inv, agg, band, spill_off,
                               spill_lo, spill_hi, spill_s, seed, b_l,
-                              gcode, gacc, table, t_in)
+                              gcode, gacc, gwin, lcode, lacc, table, t_in)
 
 
 def _star_apply(ct, table, gcode_flat, tg):
@@ -924,7 +1023,8 @@ def _fused_layer_bwd(static, res, cts):
 
     dz, dt_out, _dftab = cts  # ftab's consumer declares its cotangent zero
     (x, w_l, w_r, y, inv, agg, band, spill_off, spill_lo, spill_hi,
-     spill_s, seed, b_l, gcode, gacc, table, t_in) = res
+     spill_s, seed, b_l, gcode, gacc, gwin, lcode, lacc, table,
+     t_in) = res
     tg = table.shape[0] if static["has_super"] else 8
     has_super = static["has_super"]
     apply_prev = has_super and static["apply_prev"]
@@ -936,12 +1036,13 @@ def _fused_layer_bwd(static, res, cts):
         bwd_outs = _call_bwd_merged(
             dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
             dt_out.astype(x.dtype) if apply_prev else dt_out,
-            band,
+            band, gwin, lcode, lacc,
             tile=static["tile"], width=static["width"],
             skip=static["skip"], rate=static["rate"],
             training_rate_active=rate_active,
             interpret=static["interpret"], has_super=has_super,
             apply_prev=apply_prev, tg=tg,
+            local_star=static["local_star"],
         )
         dx, dwl, dwr, dbl = bwd_outs[:4]
         dt_in = bwd_outs[4] if has_super else jnp.zeros_like(t_in)
@@ -981,7 +1082,9 @@ def _fused_layer_bwd(static, res, cts):
             _zero_tangent(spill_off), _zero_tangent(spill_lo),
             _zero_tangent(spill_hi), _zero_tangent(spill_s),
             _zero_tangent(seed), _zero_tangent(gcode),
-            _zero_tangent(gacc), jnp.zeros_like(table), dt_in)
+            _zero_tangent(gacc), _zero_tangent(gwin),
+            _zero_tangent(lcode), _zero_tangent(lacc),
+            jnp.zeros_like(table), dt_in)
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
@@ -1011,7 +1114,7 @@ def star_source(x: jnp.ndarray, ctx) -> tuple[jnp.ndarray, jnp.ndarray]:
     with one XLA gather-add — the only per-step XLA star application left
     when the whole stack threads its tables in-kernel."""
     batch = ctx.batch
-    tg = _round8(2 * batch.n_graph_cap)
+    _, tg = star_table_geometry(batch.n_graph_cap)
     gcode_flat = batch.gcode.reshape(-1)
     return _star_source((tg,), x, gcode_flat)
 
@@ -1069,8 +1172,9 @@ def fused_sage_layer(
     training = not deterministic
     has_super = batch.has_supernode_edges
     g_cap = batch.n_graph_cap
-    tg = _round8(2 * g_cap)
+    t0, tg = star_table_geometry(g_cap)
     thread_star = star_in is not None
+    local_star = has_super and batch.gwin is not None
     if thread_star and (not has_super or batch.has_spill_edges):
         raise ValueError(
             "star threading requires a supernode batch without spill edges"
@@ -1089,6 +1193,7 @@ def fused_sage_layer(
         thread_star=thread_star,
         apply_prev=bool(star_next),
         emit_table=bool(emit_table),
+        local_star=local_star,
     )
     # dict isn't hashable for nondiff_argnums — freeze it
     static = tuple(sorted(static.items()))
@@ -1109,12 +1214,12 @@ def fused_sage_layer(
             is_super = jnp.zeros((batch.n_node_cap,), bool).at[sn].set(
                 sn < batch.dead_node_index
             )
-            gcode = jnp.where(m, g, jnp.where(is_super, g_cap + g, tg))
+            gcode = jnp.where(m, g, jnp.where(is_super, t0 + g, tg))
             gcode = gcode.astype(jnp.int32).reshape(
                 n_tiles, batch.band_tile, 1
             )
             gacc = jnp.where(
-                is_super, g, jnp.where(batch.node_mask, g_cap + g, tg)
+                is_super, g, jnp.where(batch.node_mask, t0 + g, tg)
             ).astype(jnp.int32).reshape(n_tiles, 1, batch.band_tile)
         if table_in is not None:
             # threaded from the previous layer's kernel (its ftab output —
@@ -1138,10 +1243,17 @@ def fused_sage_layer(
         table = jnp.zeros((8, x.shape[1]), x.dtype)
     t_in = star_in if thread_star else jnp.zeros((8, x.shape[1]),
                                                  jnp.float32)
+    if local_star:
+        gwin, lcode, lacc = batch.gwin, batch.lcode, batch.lacc
+    else:
+        gwin = jnp.zeros((0,), jnp.int32)
+        lcode = jnp.zeros((0,), jnp.int32)
+        lacc = jnp.zeros((0,), jnp.int32)
     z, t_out, ftab = _fused_layer(
         _StaticDict(static), x, w_l, b_l.reshape(1, -1), w_r, ctx.band,
         batch.spill_offsets, batch.spill_lo, batch.spill_hi,
-        batch.spill_senders, seed, gcode, gacc, table, t_in,
+        batch.spill_senders, seed, gcode, gacc, gwin, lcode, lacc, table,
+        t_in,
     )
     return (z, t_out, ftab) if thread_star else z
 

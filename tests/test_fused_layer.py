@@ -282,3 +282,56 @@ def test_model_fused_grads_match_xla(rng, supernode):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
         )
+
+
+def test_local_star_window_matches_global(rng):
+    """The per-tile local star-table window (batch.gwin/lcode/lacc; a
+    [2*GW, H] slice + K=2*GW selection matmul) must be bit-identical to
+    the full-table path through a threaded 2-layer chain — forward, dx
+    and dW, including the deferred-star backward handoff. 24 graphs +
+    4-tile cap alignment give >= 8 node tiles so the merged backward's
+    4-tile unroll engages."""
+    ds = generate_dataset(24, seed=4, min_side=5, max_side=9,
+                          use_super_node=True, use_virtual_edges=False)
+    nreal = sum(g.n_node for g in ds) + 1
+    ncap = ((max(nreal, 256 + 128) + 1023) // 1024) * 1024
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    batch = pack_graphs(ds, ncap, ecap, 25, band_width=128, band_tile=256)
+    assert (batch.n_node_cap // 256) % 4 == 0
+    assert batch.n_node_cap // 256 > 4
+    assert batch.gwin is not None and not batch.has_spill_edges
+    from buckgnn_tpu.ops.pallas_sage_layer import star_source
+
+    ctx_l = make_agg_context(batch, band_dtype=jnp.bfloat16,
+                             use_pallas=True)
+    batch_g = batch.replace(gwin=None, lcode=None, lacc=None)
+    ctx_g = make_agg_context(batch_g, band_dtype=jnp.bfloat16,
+                             use_pallas=True)
+    n, h = batch.n_node_cap, 128
+    x = jnp.asarray(rng.normal(size=(n, h)) * 0.1, jnp.bfloat16)
+    x = x.at[batch.dead_node_index].set(0.0)
+    w_l = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
+    b_l = jnp.asarray(rng.normal(size=(h,)) * 0.05, jnp.bfloat16)
+    w_r = jnp.asarray(rng.normal(size=(h, h)) * 0.05, jnp.bfloat16)
+    probe = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+
+    def loss_fn(ctx):
+        def f(xx, wl):
+            xx2, star = star_source(xx, ctx)
+            z, t_out, _ = fused_sage_layer(
+                xx2, wl, b_l, w_r, ctx, skip=True, rate=0.0, seed=None,
+                deterministic=True, star_in=star, star_next=True)
+            z2, _, _ = fused_sage_layer(
+                z, wl, b_l, w_r, ctx, skip=True, rate=0.0, seed=None,
+                deterministic=True, star_in=t_out, star_next=False)
+            return jnp.sum(z2.astype(jnp.float32) * probe)
+        return f
+
+    vl = float(jax.jit(loss_fn(ctx_l))(x, w_l))
+    vg = float(jax.jit(loss_fn(ctx_g))(x, w_l))
+    assert vl == vg
+    gl = jax.jit(jax.grad(loss_fn(ctx_l), argnums=(0, 1)))(x, w_l)
+    gg = jax.jit(jax.grad(loss_fn(ctx_g), argnums=(0, 1)))(x, w_l)
+    for a, b in zip(gl, gg):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
