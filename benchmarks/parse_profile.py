@@ -48,8 +48,11 @@ def main():
     paths = sorted(glob.glob(f"{root}/**/*.xplane.pb", recursive=True))
     if not paths:
         sys.exit(f"no xplane.pb under {root}")
+    # multiple captures may accumulate under one dir — take the newest
+    import os as _os
+    path = max(paths, key=_os.path.getmtime)
     xs = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as f:
+    with open(path, "rb") as f:
         xs.ParseFromString(f.read())
 
     for plane in xs.planes:

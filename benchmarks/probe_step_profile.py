@@ -27,10 +27,19 @@ def main():
 
     from bench import build_bench_setup, run_bench
 
-    for label, use_super in (("virtual", False), ("super", True)):
+    configs = (("super", True),) if args.super else (
+        ("virtual", False), ("super", True))
+    for label, use_super in configs:
         setup = build_bench_setup(batch_size=args.batch_size,
                                   use_super_node=use_super)
-        res = run_bench(setup, n_warmup=3, n_steps=20)
+        # run_bench's train chain donates its state argument — hand it a
+        # COPY so the trace section below keeps live buffers
+        setup_bench = dict(setup)
+        setup_bench["state"] = jax.tree.map(
+            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a,
+            setup["state"],
+        )
+        res = run_bench(setup_bench, n_warmup=3, n_steps=20)
         print(f"== {label} ==", flush=True)
         for k, v in res.items():
             print(f"  {k}: {v:,.2f}" if isinstance(v, float) else

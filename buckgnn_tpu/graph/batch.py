@@ -558,15 +558,17 @@ def pack_graphs(
         win_kw: dict = {}
         if fe_dim:
             # per-receiver-tile edge windows for edge-dense models
-            # (ops/ea_windowed.py). Caps round to coarse multiples so
-            # batches of a homogeneous dataset share compiled shapes.
+            # (ops/ea_windowed.py). batch_iterator pads every batch to
+            # the run-wide W/F maxima, so fine-grained rounding here is
+            # safe and trims window padding (every pad slot pays full
+            # edge-MLP work: the old 128-multiple rounding cost ~9% of
+            # the EA step at flagship shape).
             n_tiles_b = n_node_cap // band_tile
             slab = band_tile + band_width
             valid = edge_mask
             tile_of = receivers // band_tile
             counts = np.bincount(tile_of[valid], minlength=n_tiles_b)
-            w_cap = ((max(int(counts.max(initial=0)), 8) + 127)
-                     // 128) * 128
+            w_cap = ((max(int(counts.max(initial=0)), 8) + 7) // 8) * 8
             w_edges = np.zeros((n_tiles_b, w_cap, fe_dim), dtype=np_dtype)
             w_sidx = np.full((n_tiles_b, w_cap), slab, dtype=np.int32)
             w_ridx = np.full((n_tiles_b, w_cap), band_tile, dtype=np.int32)

@@ -198,6 +198,15 @@ class BuckGNN(nn.Module):
                 from buckgnn_tpu.ops.pallas_sage_layer import star_source
 
                 x, star = star_source(x, agg_ctx)
+            # fwd-table threading: each layer's kernel accumulates the
+            # NEXT layer's star table from z on the fly, replacing the
+            # per-layer XLA build (an [N, H] re-read at the fusion
+            # bandwidth floor, 0.146 ms/layer measured). Only pays with
+            # the LOCAL window accumulation (batch.gwin); the GLOBAL
+            # [tg, tile] in-kernel accumulation measured +0.31 ms/layer
+            # on the fwd critical path (2026-08-18) and stays off.
+            thread_tables = thread and batch.gwin is not None
+            table = None
             for i in range(L):
                 x_prev = x
                 skip = 0 < i < L - 1
@@ -215,16 +224,14 @@ class BuckGNN(nn.Module):
                             deterministic=deterministic,
                             star_in=star,
                             star_next=thread and i < L - 1,
-                            # fwd-table threading (table_in/emit_table)
-                            # measured SLOWER: the in-kernel accumulation
-                            # costs +0.31 ms/layer on the fwd critical
-                            # path vs ~0.16 for the XLA build it replaces
-                            # (profile 2026-08-18); keep the XLA
-                            # stop_gradient build instead
+                            table_in=table,
+                            emit_table=thread_tables and i < L - 1,
                         ),
                     )
                     if thread:
-                        x, star, _ = x
+                        x, star, table = x
+                        if not (thread_tables and i < L - 1):
+                            table = None
                 else:
                     x = conv(x, senders, receivers, agg_ctx)
                     # relu + skip (only for 0<i<L-1, BuckGNN.py:349-351) +

@@ -188,7 +188,7 @@ def _fwd_kernel(
     spill_off_ref, seed_ref, wbase_ref,
     # VMEM blocks
     band_ref, lo_ref, hi_ref, wl_ref, bl_ref, wr_ref, gcode_ref,
-    lcode_ref, table_ref, gacc_ref,
+    lcode_ref, table_ref, gacc_ref, lacc_ref,
     # ANY (HBM)
     x_hbm, msgs_hbm,
     # outputs
@@ -339,21 +339,43 @@ def _fwd_kernel(
         if emit_table:
             # accumulate the NEXT layer's star table from z on the fly
             # (_super_tables semantics: gacc codes put the supernode row
-            # into [0, G) and real non-super rows into [G, 2G)) — kills
-            # the per-layer XLA table build between kernels
-            a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
-            sela = jnp.where(a_iota == gacc_ref[j], jnp.float32(1),
-                             jnp.float32(0))
-            tb = jnp.dot(sela.astype(x_dtype), z,
-                         preferred_element_type=jnp.float32)
+            # into [0, G) and real non-super rows into [T0, T0+G)) —
+            # kills the per-layer XLA table build between kernels
+            # (measured 0.146 ms/layer, an [N,H] re-read at the fusion
+            # bandwidth floor)
+            if local_star:
+                gw = min(LOCAL_STAR_ROWS, tg // 2)
+                wb = pl.multiple_of(wbase_ref[t], 8)
+                a_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * gw, tile), 0)
+                sela = jnp.where(a_iota == lacc_ref[j], jnp.float32(1),
+                                 jnp.float32(0))
+                tb = jnp.dot(sela.astype(x_dtype), z,
+                             preferred_element_type=jnp.float32)
 
-            @pl.when(t == 0)
-            def _():
-                facc_ref[...] = tb
+                @pl.when(t == 0)
+                def _():
+                    facc_ref[...] = jnp.zeros((tg, tb.shape[1]),
+                                              jnp.float32)
 
-            @pl.when(t > 0)
-            def _():
-                facc_ref[...] += tb
+                facc_ref[pl.ds(wb, gw), :] += tb[:gw]
+                facc_ref[
+                    pl.ds(pl.multiple_of(tg // 2 + wb, 8), gw), :
+                ] += tb[gw:]
+            else:
+                a_iota = jax.lax.broadcasted_iota(jnp.int32, (tg, tile), 0)
+                sela = jnp.where(a_iota == gacc_ref[j], jnp.float32(1),
+                                 jnp.float32(0))
+                tb = jnp.dot(sela.astype(x_dtype), z,
+                             preferred_element_type=jnp.float32)
+
+                @pl.when(t == 0)
+                def _():
+                    facc_ref[...] = tb
+
+                @pl.when(t > 0)
+                def _():
+                    facc_ref[...] += tb
 
             @pl.when(t == n_tiles - 1)
             def _():
@@ -361,28 +383,35 @@ def _fwd_kernel(
 
 
 def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
-              spill_messages, seed, gcode, table, gacc, gwin, lcode, *,
-              tile, width, has_spill, skip, rate, training, save_res,
+              spill_messages, seed, gcode, table, gacc, gwin, lcode, lacc,
+              *, tile, width, has_spill, skip, rate, training, save_res,
               interpret, has_super, emit_table, local_star):
     n, h = x.shape
     n_tiles = n // tile
     slab = tile + width
+    # Dummy operands REUSE live same-shaped arrays wherever possible: a
+    # fresh jnp.zeros dummy materializes a broadcast + relayout copy in
+    # every step (~0.08 ms each for the [n_tiles, T, 1] int32 shapes,
+    # measured in the XLA op profile); the kernel never reads them.
     if not has_super:
         gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
         table = jnp.zeros((8, h), x.dtype)
-    if not emit_table:
-        gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
+    if local_star:
+        gcode = lcode  # global-selection path unread
     if not local_star:
         gwin = jnp.zeros((n_tiles,), jnp.int32)
-        lcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
-    if local_star:
-        gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)  # unused block
+        lcode = gcode if gcode.ndim == 3 else jnp.zeros(
+            (n_tiles, tile, 1), jnp.int32)
+    if not emit_table:
+        gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
+    if not (emit_table and local_star):
+        lacc = gacc  # same shape, unread
     tg = table.shape[0]
     n_spill = spill_messages.shape[0] if has_spill else SPILL_CHUNK
     if not has_spill:
         spill_off = jnp.zeros((n_tiles + 1,), jnp.int32)
-        spill_lo = jnp.zeros((n_tiles, tile, 1), jnp.int32)
-        spill_hi = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+        spill_lo = lcode   # same shape/dtype, unread without spill
+        spill_hi = lcode
         spill_messages = jnp.zeros((SPILL_CHUNK, h), x.dtype)
     active = training and rate > 0.0
     thr = dropout_threshold(rate, DROPOUT_BITS) if active else None
@@ -452,6 +481,8 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
                          memory_space=pltpu.VMEM),  # table
             pl.BlockSpec((unroll, 1, tile), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),  # gacc
+            pl.BlockSpec((unroll, 1, tile), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),  # lacc
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # spill_messages
         ],
@@ -461,7 +492,7 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(spill_off, seed, gwin, band, spill_lo, spill_hi, w_l, b_l, w_r,
-      gcode, lcode, table, gacc, x, spill_messages)
+      gcode, lcode, table, gacc, lacc, x, spill_messages)
     return outs
 
 
@@ -787,15 +818,19 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     thr = (dropout_threshold(rate, DROPOUT_BITS)
            if training_rate_active else None)
     scale = dropout_scale(rate, DROPOUT_BITS) if thr is not None else None
+    # dummy operands reuse live same-shaped arrays (see _call_fwd)
     if not has_super:
         gacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
-    if not apply_prev:
+    if not apply_prev and not local_star:
         gcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
+    if not apply_prev:
         table_prev = jnp.zeros((tg, h), x.dtype)
-    if not local_star:
+    if local_star:
+        gcode = lcode  # global-selection path unread
+    else:
         gwin = jnp.zeros((n_tiles,), jnp.int32)
-        lcode = jnp.zeros((n_tiles, tile, 1), jnp.int32)
-        lacc = jnp.zeros((n_tiles, 1, tile), jnp.int32)
+        lcode = gcode
+        lacc = gacc
     kern = functools.partial(
         _bwd_merged_kernel, tile=tile, width=width, x_dtype=x.dtype,
         skip=skip, thr=thr, scale=scale, n_tiles=n_tiles,
@@ -972,7 +1007,7 @@ def _fused_layer(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
     emit = static["emit_table"]
     outs = list(_call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
-        gcode, table, gacc, gwin, lcode,
+        gcode, table, gacc, gwin, lcode, lacc,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"], save_res=False,
@@ -991,7 +1026,7 @@ def _fused_layer_fwd(static, x, w_l, b_l, w_r, band, spill_off, spill_lo,
     emit = static["emit_table"]
     outs = list(_call_fwd(
         x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi, msgs, seed,
-        gcode, table, gacc, gwin, lcode,
+        gcode, table, gacc, gwin, lcode, lacc,
         tile=static["tile"], width=static["width"],
         has_spill=static["has_spill"], skip=static["skip"],
         rate=static["rate"], training=static["training"], save_res=True,
