@@ -622,10 +622,17 @@ def pack_graphs(
             spill_hi=jnp.asarray(s_hi),
             has_spill_edges=bool(np.any(sr != n_node_cap - 1)),
             has_spill2_edges=bool(np.any(sr2 != n_node_cap - 1)),
+            # stored 2D [n_tiles*T, S]: jnp.asarray of 3D int8 picks a
+            # non-row-major device layout (major_to_minor (0,2,1)) and
+            # every step then pays a ~0.126 ms relayout copy to the
+            # kernels' row-major constraint. A 2D array is always
+            # row-major and the consumer's 2D->3D reshape (splitting the
+            # MAJOR dim) is a free bitcast (ops/banded.py).
             band=(
                 jnp.asarray(
                     _host_band_matrix(bs, br, n_node_cap, band_tile,
-                                      band_width)
+                                      band_width).reshape(
+                        n_node_cap, band_tile + band_width)
                 )
                 if materialize_band else None
             ),

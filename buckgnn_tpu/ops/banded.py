@@ -100,6 +100,13 @@ def make_agg_context(batch: GraphBatch, band_dtype=jnp.float32,
         # int8 directly (halves band HBM traffic; the XLA u8->bf16 convert
         # measured 6.4 ms/step on a v5e); the XLA slab path casts per call.
         band = batch.band if use_pallas else batch.band.astype(band_dtype)
+        if band.ndim == 2:
+            # stored 2D for a row-major device layout (graph/batch.py);
+            # splitting the major dim back to [n_tiles, T, S] is a free
+            # bitcast
+            band = band.reshape(
+                n // batch.band_tile, batch.band_tile, -1
+            )
     else:
         band = build_band_matrix(batch, dtype=band_dtype)
     degree = None

@@ -629,9 +629,11 @@ def _bwd_merged_kernel(
     ring_n = 2 * unroll + 2
     hold_n = 2 * unroll
 
-    @pl.when(p < n_steps)
-    def _tile_phase():
-        for sub in range(unroll):
+    def tile_sub(sub, first):
+        """Tile math for node tile t = p*unroll + sub; ``first`` is
+        statically True only in the p == 0 region's first sub (set
+        accumulators instead of +=)."""
+        if True:  # noqa: preserves the phase body's original indentation
             t = p * unroll + sub
             row = pl.ds(sub * tile, tile)
             dz = dz_ref[row, :].astype(jnp.float32)
@@ -733,22 +735,12 @@ def _bwd_merged_kernel(
                         else:
                             tacc_ref[...] += tb
 
-            if sub == 0:
-                @pl.when(p == 0)
-                def _():
-                    dwl_ref[...] = dwl_t
-                    dwr_ref[...] = dwr_t
-                    dbl_ref[...] = dbl_t
-                    if has_super:
-                        store_tb(True)
-
-                @pl.when(p > 0)
-                def _():
-                    dwl_ref[...] += dwl_t
-                    dwr_ref[...] += dwr_t
-                    dbl_ref[...] += dbl_t
-                    if has_super:
-                        store_tb(False)
+            if first:
+                dwl_ref[...] = dwl_t
+                dwr_ref[...] = dwr_t
+                dbl_ref[...] = dbl_t
+                if has_super:
+                    store_tb(True)
             else:
                 dwl_ref[...] += dwl_t
                 dwr_ref[...] += dwr_t
@@ -756,53 +748,77 @@ def _bwd_merged_kernel(
                 if has_super:
                     store_tb(False)
 
+    def band_sub(sub):
+        """dx for output tile j = (p-1)*unroll + sub (one-STEP lag: the
+        highest ring tile needed, j+1 = p*unroll + sub, landed in this
+        step's tile phase): band_j @ dagg_slab + dxp_j, slab assembled
+        from the ring. Slab start = clip(j*tile - w2, 0, n - slab) (the
+        forward's clamped windows): interior tiles read [j-1 tail w2 |
+        j | j+1 head w2]; the first tile reads [0, slab), the last
+        [n - slab, n). Each sub owns its own slab scratch slot so the
+        four band matmuls carry no write-after-read hazard between
+        them."""
+        j = (p - 1) * unroll + sub
+        row = pl.ds(sub * tile, tile)
+        b = band_ref[sub]
+        if jnp.issubdtype(b.dtype, jnp.integer):
+            b = b.astype(jnp.float32).astype(x_dtype)
+        base = hold_ref[jax.lax.rem(j, hold_n)].astype(jnp.float32)
+        r_prev = ring_ref[jax.lax.rem(j + ring_n - 1, ring_n)]
+        r_cur = ring_ref[jax.lax.rem(j, ring_n)]
+        r_next = ring_ref[jax.lax.rem(j + 1, ring_n)]
+        # assemble the dagg slab CONTIGUOUSLY (cheap VPU copies) so
+        # the band application is ONE full-K matmul instead of three
+        # partial-K ones (K=64 matmuls run well off MXU peak)
+        @pl.when(j == 0)
+        def _():
+            slab_ref[sub, :tile] = r_cur
+            slab_ref[sub, tile:] = r_next[:width]
+
+        @pl.when((j > 0) & (j < n_tiles - 1))
+        def _():
+            slab_ref[sub, :w2] = r_prev[tile - w2:]
+            slab_ref[sub, w2:w2 + tile] = r_cur
+            slab_ref[sub, w2 + tile:] = r_next[:w2]
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            slab_ref[sub, :width] = r_prev[tile - width:]
+            slab_ref[sub, width:] = r_cur
+
+        acc = base + jnp.dot(b, slab_ref[sub],
+                             preferred_element_type=jnp.float32)
+        dx_ref[row, :] = acc.astype(x_dtype)
+
+    def emit_town():
         if has_super:
             @pl.when(p == n_steps - 1)
             def _():
                 town_ref[...] = tacc_ref[...]
 
-    @pl.when(p >= 1)
-    def _band_phase():
-        # dx for output tiles j = (p-1)*unroll + sub (one-STEP lag: the
-        # highest ring tile needed, j+1 = p*unroll, landed in this step's
-        # FIRST tile-phase iteration): band_j @ dagg_slab + dxp_j, slab
-        # assembled from the ring. Slab start = clip(j*tile - w2, 0,
-        # n - slab) (the forward's clamped windows): interior tiles read
-        # [j-1 tail w2 | j | j+1 head w2]; the first tile reads [0, slab),
-        # the last [n - slab, n).
+    # Three regions instead of two overlapping pl.when phases: interior
+    # steps run tile AND band work in ONE conditional body, so the
+    # scheduler can overlap the band subs' VPU slab assembly with the
+    # tile subs' matmul chains (separate pl.when regions are control-flow
+    # barriers that serialize the two phases).
+    @pl.when(p == 0)
+    def _first_step():
         for sub in range(unroll):
-            j = (p - 1) * unroll + sub
-            row = pl.ds(sub * tile, tile)
-            b = band_ref[sub]
-            if jnp.issubdtype(b.dtype, jnp.integer):
-                b = b.astype(jnp.float32).astype(x_dtype)
-            base = hold_ref[jax.lax.rem(j, hold_n)].astype(jnp.float32)
-            r_prev = ring_ref[jax.lax.rem(j + ring_n - 1, ring_n)]
-            r_cur = ring_ref[jax.lax.rem(j, ring_n)]
-            r_next = ring_ref[jax.lax.rem(j + 1, ring_n)]
+            tile_sub(sub, first=sub == 0)
+        emit_town()  # n_steps == 1
 
-            # assemble the dagg slab CONTIGUOUSLY (cheap VPU copies) so
-            # the band application is ONE full-K matmul instead of three
-            # partial-K ones (K=64 matmuls run well off MXU peak)
-            @pl.when(j == 0)
-            def _():
-                slab_ref[:tile] = r_cur
-                slab_ref[tile:] = r_next[:width]
+    @pl.when((p > 0) & (p < n_steps))
+    def _interior():
+        for sub in range(unroll):
+            tile_sub(sub, first=False)
+        for sub in range(unroll):
+            band_sub(sub)
+        emit_town()
 
-            @pl.when((j > 0) & (j < n_tiles - 1))
-            def _():
-                slab_ref[:w2] = r_prev[tile - w2:]
-                slab_ref[w2:w2 + tile] = r_cur
-                slab_ref[w2 + tile:] = r_next[:w2]
-
-            @pl.when(j == n_tiles - 1)
-            def _():
-                slab_ref[:width] = r_prev[tile - width:]
-                slab_ref[width:] = r_cur
-
-            acc = base + jnp.dot(b, slab_ref[...],
-                                 preferred_element_type=jnp.float32)
-            dx_ref[row, :] = acc.astype(x_dtype)
+    @pl.when(p == n_steps)
+    def _drain():
+        for sub in range(unroll):
+            band_sub(sub)
 
 
 def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
@@ -874,7 +890,9 @@ def _call_bwd_merged(dz, y, inv, agg, x, w_l, w_r, seed, gacc, gcode,
     scratch = [
         pltpu.VMEM((ring_n, tile, h), x.dtype),  # dagg ring
         pltpu.VMEM((hold_n, tile, h), x.dtype),  # dxp hold
-        pltpu.VMEM((tile + width, h), x.dtype),  # contiguous dagg slab
+        # one contiguous dagg slab per unrolled sub (no WAR hazard
+        # between the band matmuls)
+        pltpu.VMEM((unroll, tile + width, h), x.dtype),
     ]
     if has_super:
         scratch.append(pltpu.VMEM((tg, h), jnp.float32))
