@@ -71,8 +71,11 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
         ncap = ((max(n_real, band_tile + bw) + align - 1) // align) * align
     else:
         ncap = n_real
+    # rcm=True matches the trainer's packing AND select_band_geometry's
+    # probe order — the selected width is only valid for RCM node order
     batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap,
-                                     band_width=bw, band_tile=band_tile)))
+                                     band_width=bw, band_tile=band_tile,
+                                     rcm=bw is not None)))
     assert int(np.sum(np.asarray(batch.graph_mask))) == n_graphs, (
         "bench batch must hold the full dataset"
     )

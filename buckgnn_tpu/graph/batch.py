@@ -671,6 +671,8 @@ def batch_iterator(
     rcm: bool = False,
     materialize_band: bool = True,
     analytic_supernode: bool = True,
+    min_win_cap: int = 0,
+    min_far_cap: int = 0,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
@@ -749,10 +751,16 @@ def batch_iterator(
     # compiled shape / DP stacking — pad every batch to the run maxima
     # (pads carry sentinel indices / out-of-bounds positions, so they are
     # inert in both directions; see pack_graphs)
+    # min_win_cap/min_far_cap: floors for the run-wide window caps, so a
+    # caller that repacks per epoch (trainer repack_every_epoch) can keep
+    # ONE compiled shape across shuffles by feeding back the largest caps
+    # seen so far instead of recompiling whenever a shuffle shifts the max
     w_max = f_max = 0
     if batches and batches[0].win_edges is not None:
-        w_max = max(b.win_edges.shape[1] for b in batches)
-        f_max = max(b.win_far_pos.shape[0] for b in batches)
+        w_max = max(max(b.win_edges.shape[1] for b in batches),
+                    min_win_cap)
+        f_max = max(max(b.win_far_pos.shape[0] for b in batches),
+                    min_far_cap)
     for b in batches:
         win_kw = {}
         if w_max and b.win_edges.shape[1] < w_max:

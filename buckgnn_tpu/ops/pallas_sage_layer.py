@@ -633,120 +633,119 @@ def _bwd_merged_kernel(
         """Tile math for node tile t = p*unroll + sub; ``first`` is
         statically True only in the p == 0 region's first sub (set
         accumulators instead of +=)."""
-        if True:  # noqa: preserves the phase body's original indentation
-            t = p * unroll + sub
-            row = pl.ds(sub * tile, tile)
-            dz = dz_ref[row, :].astype(jnp.float32)
-            if apply_prev:
-                # pending star of the NEXT layer (threaded table_prev):
-                # the cotangent this kernel received is missing
-                # table_prev[gcode]
-                if local_star:
-                    gw = min(LOCAL_STAR_ROWS, tg // 2)
-                    wb = pl.multiple_of(wbase_ref[t], 8)
-                    ltab = jnp.concatenate(
-                        [tprev_ref[pl.ds(wb, gw), :],
-                         tprev_ref[pl.ds(pl.multiple_of(tg // 2 + wb, 8),
-                                         gw), :]], axis=0)
-                    g_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile, 2 * gw), 1)
-                    selg = jnp.where(g_iota == lcode_ref[sub],
-                                     jnp.float32(1), jnp.float32(0))
-                    dz_eff = dz + jnp.dot(
-                        selg.astype(x_dtype), ltab,
-                        preferred_element_type=jnp.float32)
-                else:
-                    g_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (tile, tg), 1)
-                    selg = jnp.where(g_iota == gcode_ref[sub],
-                                     jnp.float32(1), jnp.float32(0))
-                    dz_eff = dz + jnp.dot(
-                        selg.astype(x_dtype), tprev_ref[...],
-                        preferred_element_type=jnp.float32)
+        t = p * unroll + sub
+        row = pl.ds(sub * tile, tile)
+        dz = dz_ref[row, :].astype(jnp.float32)
+        if apply_prev:
+            # pending star of the NEXT layer (threaded table_prev):
+            # the cotangent this kernel received is missing
+            # table_prev[gcode]
+            if local_star:
+                gw = min(LOCAL_STAR_ROWS, tg // 2)
+                wb = pl.multiple_of(wbase_ref[t], 8)
+                ltab = jnp.concatenate(
+                    [tprev_ref[pl.ds(wb, gw), :],
+                     tprev_ref[pl.ds(pl.multiple_of(tg // 2 + wb, 8),
+                                     gw), :]], axis=0)
+                g_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, 2 * gw), 1)
+                selg = jnp.where(g_iota == lcode_ref[sub],
+                                 jnp.float32(1), jnp.float32(0))
+                dz_eff = dz + jnp.dot(
+                    selg.astype(x_dtype), ltab,
+                    preferred_element_type=jnp.float32)
             else:
-                dz_eff = dz
-            if thr is not None:
-                _seed_tile(seed_ref, t)
-                keep = _keep_mask(dz_eff.shape, thr)
-                dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
-                                   jnp.float32(0.0))
-            y = y_ref[row, :].astype(jnp.float32)
-            dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
-            inv = jnp.transpose(inv_ref[sub])  # [1, tile] row -> column
-            s = _rowsum(dy * y)
-            dout = (dy - y * s) * inv
-            dout_c = dout.astype(x_dtype)
+                g_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile, tg), 1)
+                selg = jnp.where(g_iota == gcode_ref[sub],
+                                 jnp.float32(1), jnp.float32(0))
+                dz_eff = dz + jnp.dot(
+                    selg.astype(x_dtype), tprev_ref[...],
+                    preferred_element_type=jnp.float32)
+        else:
+            dz_eff = dz
+        if thr is not None:
+            _seed_tile(seed_ref, t)
+            keep = _keep_mask(dz_eff.shape, thr)
+            dz_eff = jnp.where(keep, dz_eff * jnp.float32(scale),
+                               jnp.float32(0.0))
+        y = y_ref[row, :].astype(jnp.float32)
+        dy = jnp.where(y > 0.0, dz_eff, jnp.float32(0.0))
+        inv = jnp.transpose(inv_ref[sub])  # [1, tile] row -> column
+        s = _rowsum(dy * y)
+        dout = (dy - y * s) * inv
+        dout_c = dout.astype(x_dtype)
 
-            # dagg | dxp as ONE [T, H] @ [H, 2H] matmul against the
-            # pre-concatenated [W_l^T | W_r^T]
-            h = dout_c.shape[1]
-            both = jnp.dot(dout_c, wlr_ref[...],
-                           preferred_element_type=jnp.float32)
-            dagg = both[:, :h].astype(x_dtype)
-            ring_ref[jax.lax.rem(t, ring_n)] = dagg
-            dxp = both[:, h:]
-            if skip:
-                dxp = dxp + dz_eff
-            hold_ref[jax.lax.rem(t, hold_n)] = dxp.astype(x_dtype)
+        # dagg | dxp as ONE [T, H] @ [H, 2H] matmul against the
+        # pre-concatenated [W_l^T | W_r^T]
+        h = dout_c.shape[1]
+        both = jnp.dot(dout_c, wlr_ref[...],
+                       preferred_element_type=jnp.float32)
+        dagg = both[:, :h].astype(x_dtype)
+        ring_ref[jax.lax.rem(t, ring_n)] = dagg
+        dxp = both[:, h:]
+        if skip:
+            dxp = dxp + dz_eff
+        hold_ref[jax.lax.rem(t, hold_n)] = dxp.astype(x_dtype)
 
-            dwl_t = jax.lax.dot_general(
-                agg_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dwr_t = jax.lax.dot_general(
-                x_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dbl_t = jnp.sum(dout, axis=0, keepdims=True)
+        dwl_t = jax.lax.dot_general(
+            agg_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwr_t = jax.lax.dot_general(
+            x_ref[row, :], dout_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbl_t = jnp.sum(dout, axis=0, keepdims=True)
+        if has_super:
+            if local_star:
+                # accumulate into a [2*GW, H] window slice of tacc
+                # (K=tile matmul with M=2*GW instead of M=tg)
+                gw = min(LOCAL_STAR_ROWS, tg // 2)
+                wb = pl.multiple_of(wbase_ref[t], 8)
+                a_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * gw, tile), 0)
+                sela = jnp.where(a_iota == lacc_ref[sub],
+                                 jnp.float32(1), jnp.float32(0))
+                tb = jnp.dot(sela.astype(x_dtype), dagg,
+                             preferred_element_type=jnp.float32)
+
+                def store_tb(first):
+                    if first:
+                        # windows only touch their own rows — zero
+                        # the whole accumulator before the first add
+                        tacc_ref[...] = jnp.zeros(
+                            (tg, tb.shape[1]), jnp.float32)
+                    tacc_ref[pl.ds(wb, gw), :] += tb[:gw]
+                    tacc_ref[
+                        pl.ds(pl.multiple_of(tg // 2 + wb, 8), gw), :
+                    ] += tb[gw:]
+            else:
+                a_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (tg, tile), 0)
+                sela = jnp.where(a_iota == gacc_ref[sub],
+                                 jnp.float32(1), jnp.float32(0))
+                tb = jnp.dot(sela.astype(x_dtype), dagg,
+                             preferred_element_type=jnp.float32)
+
+                def store_tb(first):
+                    if first:
+                        tacc_ref[...] = tb
+                    else:
+                        tacc_ref[...] += tb
+
+        if first:
+            dwl_ref[...] = dwl_t
+            dwr_ref[...] = dwr_t
+            dbl_ref[...] = dbl_t
             if has_super:
-                if local_star:
-                    # accumulate into a [2*GW, H] window slice of tacc
-                    # (K=tile matmul with M=2*GW instead of M=tg)
-                    gw = min(LOCAL_STAR_ROWS, tg // 2)
-                    wb = pl.multiple_of(wbase_ref[t], 8)
-                    a_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (2 * gw, tile), 0)
-                    sela = jnp.where(a_iota == lacc_ref[sub],
-                                     jnp.float32(1), jnp.float32(0))
-                    tb = jnp.dot(sela.astype(x_dtype), dagg,
-                                 preferred_element_type=jnp.float32)
-
-                    def store_tb(first):
-                        if first:
-                            # windows only touch their own rows — zero
-                            # the whole accumulator before the first add
-                            tacc_ref[...] = jnp.zeros(
-                                (tg, tb.shape[1]), jnp.float32)
-                        tacc_ref[pl.ds(wb, gw), :] += tb[:gw]
-                        tacc_ref[
-                            pl.ds(pl.multiple_of(tg // 2 + wb, 8), gw), :
-                        ] += tb[gw:]
-                else:
-                    a_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (tg, tile), 0)
-                    sela = jnp.where(a_iota == gacc_ref[sub],
-                                     jnp.float32(1), jnp.float32(0))
-                    tb = jnp.dot(sela.astype(x_dtype), dagg,
-                                 preferred_element_type=jnp.float32)
-
-                    def store_tb(first):
-                        if first:
-                            tacc_ref[...] = tb
-                        else:
-                            tacc_ref[...] += tb
-
-            if first:
-                dwl_ref[...] = dwl_t
-                dwr_ref[...] = dwr_t
-                dbl_ref[...] = dbl_t
-                if has_super:
-                    store_tb(True)
-            else:
-                dwl_ref[...] += dwl_t
-                dwr_ref[...] += dwr_t
-                dbl_ref[...] += dbl_t
-                if has_super:
-                    store_tb(False)
+                store_tb(True)
+        else:
+            dwl_ref[...] += dwl_t
+            dwr_ref[...] += dwr_t
+            dbl_ref[...] += dbl_t
+            if has_super:
+                store_tb(False)
 
     def band_sub(sub):
         """dx for output tile j = (p-1)*unroll + sub (one-STEP lag: the
@@ -1141,10 +1140,6 @@ def _fused_layer_bwd(static, res, cts):
 
 
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
-
-
-def _round8(v: int) -> int:
-    return ((v + 7) // 8) * 8
 
 
 def supports_fused_layer(ctx, x, aggr: str, normalize: bool) -> bool:

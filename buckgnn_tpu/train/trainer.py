@@ -276,13 +276,15 @@ def train_gnn(
         # band width auto-selected from the dataset's RCM bandwidth
         # (batch.py::select_band_geometry — ONE source of truth shared with
         # eval/inference.py and eval/timer.py).
-        # Aligned to 2 tiles so the Pallas kernel's 2-tile unroll engages.
+        # Aligned to 4 tiles so the Pallas kernels' 4-tile unrolls engage
+        # (fwd _UNROLL_FWD and the merged backward's _UNROLL_BWD both
+        # need n_tiles % 4 == 0; bench.py uses the same alignment).
         from buckgnn_tpu.graph.batch import select_band_geometry
 
         tile, width = select_band_geometry(
             list(train_data) + list(val_data)
         )
-        align = 2 * tile
+        align = 4 * tile
         if cfg.segment_impl == "banded_partitioned":
             # node capacity must split into tile-aligned shard ranges
             mesh = jax.sharding.get_abstract_mesh()
@@ -309,11 +311,24 @@ def train_gnn(
     train_step, eval_step = make_train_step(model, optimizer, criterion, cfg,
                                             normalizer)
 
+    # sticky edge-window caps: repack_every_epoch reshuffles batch
+    # composition, and a shuffle that shifts the max per-tile edge count
+    # would change the windowed shapes and recompile the train step —
+    # feed the largest caps seen so far back in as floors
+    win_floors = {"w": 0, "f": 0}
+
     def pack(data, shuffle, seed):
         batches = list(
             batch_iterator(data, cfg.batch_size, n_node_cap, n_edge_cap,
-                           shuffle=shuffle, seed=seed, **band_kw)
+                           shuffle=shuffle, seed=seed,
+                           min_win_cap=win_floors["w"],
+                           min_far_cap=win_floors["f"], **band_kw)
         )
+        if batches and batches[0].win_edges is not None:
+            win_floors["w"] = max(win_floors["w"],
+                                  batches[0].win_edges.shape[1])
+            win_floors["f"] = max(win_floors["f"],
+                                  batches[0].win_far_pos.shape[0])
         if cfg.segment_impl == "banded_partitioned":
             # attach edge-partitioned shards (parallel/partitioned.py) for
             # the 'model' axis of the ambient mesh (jax.set_mesh); one
