@@ -100,7 +100,10 @@ def run_inference(
         from buckgnn_tpu.graph.batch import select_band_geometry
 
         tile, width = select_band_geometry(test_data)
-        ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+        # 4-tile alignment so the Pallas kernels' 4-tile unrolls engage
+        # (matches trainer/bench)
+        align = 4 * tile
+        ncap = ((max(ncap, tile + width) + align - 1) // align) * align
         band_kw = dict(band_width=width, band_tile=tile, rcm=True)
     else:
         band_kw = {}

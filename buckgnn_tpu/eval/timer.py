@@ -33,8 +33,9 @@ def time_gnn_forward(
     ncap, ecap = suggest_capacities(graphs, batch_size, slack=1.1)
     if band_kw:
         tile = band_kw.get("band_tile", 256)
-        ncap = ((max(ncap, tile + band_kw.get("band_width", 128)) + tile - 1)
-                // tile) * tile
+        align = 4 * tile  # 4-tile unroll alignment (matches trainer/bench)
+        ncap = ((max(ncap, tile + band_kw.get("band_width", 128)) + align - 1)
+                // align) * align
     batch = next(iter(batch_iterator(graphs, batch_size, ncap, ecap,
                                      **(band_kw or {}))))
     for _ in range(n_warmup):
@@ -118,7 +119,8 @@ def run_time_analysis(
     ncap, ecap = suggest_capacities(graphs, 1, slack=2.0)
     if band_kw:
         tile, width = band_kw["band_tile"], band_kw["band_width"]
-        ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+        align = 4 * tile
+        ncap = ((max(ncap, tile + width) + align - 1) // align) * align
     b0 = next(iter(batch_iterator(graphs, 1, ncap, ecap, **band_kw)))
     state = init_state(model, optimizer, b0)
     state, _, _, _ = ckpt.load_checkpoint(model_path, state)

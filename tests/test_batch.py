@@ -154,3 +154,31 @@ def test_select_band_geometry_ignores_supernode_stars():
                                  band_tile=tile, rcm=True)))
     assert not b.has_spill_edges and not b.has_spill2_edges
     assert b.has_supernode_edges
+
+
+def test_batch_iterator_window_cap_floors():
+    """min_win_cap/min_far_cap pad the run-wide EA edge-window caps up to
+    caller-supplied floors — the trainer feeds back the largest caps seen
+    across repack_every_epoch shuffles so every epoch compiles once."""
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+
+    ds = generate_dataset(6, seed=2, min_side=8, max_side=12,
+                          use_virtual_edges=True)
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, 256 + 128) + 255) // 256) * 256
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    kw = dict(band_width=128, band_tile=256)
+    base = next(iter(batch_iterator(ds, 6, ncap, ecap, **kw)))
+    w0, f0 = base.win_edges.shape[1], base.win_far_pos.shape[0]
+    padded = next(iter(batch_iterator(ds, 6, ncap, ecap,
+                                      min_win_cap=w0 + 64,
+                                      min_far_cap=f0 + 512, **kw)))
+    assert padded.win_edges.shape[1] == w0 + 64
+    assert padded.win_far_pos.shape[0] == f0 + 512
+    # pads must be inert: sentinel indices everywhere in the new columns
+    sidx = np.asarray(padded.win_sidx)[:, w0:]
+    assert (sidx == 256 + 128).all()
+    ridx = np.asarray(padded.win_ridx)[:, w0:]
+    assert (ridx == 256).all()
+    far = np.asarray(padded.win_far_send)[f0:]
+    assert (far == padded.n_node_cap - 1).all()
