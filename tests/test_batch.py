@@ -182,3 +182,23 @@ def test_batch_iterator_window_cap_floors():
     assert (ridx == 256).all()
     far = np.asarray(padded.win_far_send)[f0:]
     assert (far == padded.n_node_cap - 1).all()
+
+
+def test_local_star_windows_fall_back_for_tiny_graphs():
+    """When a 256-node tile spans more graphs than LOCAL_STAR_ROWS, the
+    pack must omit the local star-table windows (kernels then use the
+    full-table selection path) instead of emitting out-of-window codes."""
+    from buckgnn_tpu.graph.batch import LOCAL_STAR_ROWS
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+
+    # ~9-node graphs: a 256-row tile spans ~28 graphs > LOCAL_STAR_ROWS
+    ds = generate_dataset(40, seed=5, min_side=3, max_side=3,
+                          use_super_node=True, use_virtual_edges=False)
+    assert max(g.n_node for g in ds) * LOCAL_STAR_ROWS < 256
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, 256 + 128) + 255) // 256) * 256
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    b = pack_graphs(ds, ncap, ecap, 41, band_width=128, band_tile=256)
+    assert b.has_supernode_edges
+    assert b.gwin is None and b.lcode is None and b.lacc is None
+    assert b.gcode is not None  # global path stays available
