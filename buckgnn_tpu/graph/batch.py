@@ -673,6 +673,7 @@ def batch_iterator(
     analytic_supernode: bool = True,
     min_win_cap: int = 0,
     min_far_cap: int = 0,
+    local_star_windows: bool = True,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
 
@@ -742,8 +743,13 @@ def batch_iterator(
     any_spill = any(b.has_spill_edges for b in batches)
     any_spill2 = any(b.has_spill2_edges for b in batches)
     # local star-table windows are all-or-nothing across the run (same
-    # treedef): if any batch's tiles span too many graphs, strip them all
-    if any(b.gcode is not None and b.gwin is None for b in batches):
+    # treedef): if any batch's tiles span too many graphs, strip them all.
+    # local_star_windows=False forces the global path up front — the
+    # trainer feeds a fallback observed on an earlier repack back in so a
+    # borderline dataset can't flip treedefs (and recompile) mid-training.
+    if not local_star_windows or any(
+        b.gcode is not None and b.gwin is None for b in batches
+    ):
         batches = [
             b.replace(gwin=None, lcode=None, lacc=None) for b in batches
         ]
@@ -809,6 +815,7 @@ def select_band_geometry(
     sample: int = 64,
     seed: int = 0,
     rcm: bool = True,
+    analytic_supernode: bool = True,
 ) -> tuple[int, int]:
     """Pick (band_tile, band_width) for a dataset — the ONE source of truth
     for band geometry (trainer / inference / timer all call this instead of
@@ -839,14 +846,19 @@ def select_band_geometry(
         for g in graphs:
             s = np.asarray(g.senders, dtype=np.int64)
             r = np.asarray(g.receivers, dtype=np.int64)
-            if g.supernode >= 0:
+            if analytic_supernode and g.supernode >= 0:
                 # supernode star edges never enter the band — pack_graphs
                 # handles full stars analytically (per-graph correction
                 # tables, _band_split analytic_supernode=True). Counting
                 # them here made every supernode dataset look ~25%
                 # out-of-band and forced the widest band for nothing.
-                keep = (s != g.supernode) & (r != g.supernode)
-                s, r = s[keep], r[keep]
+                # Mirror _band_split's guard: only a FULL star
+                # (2*(n-1) directed edges touching the supernode) takes
+                # the analytic path; partial stars land in band/spill
+                # and must count toward width selection.
+                touches = (s == g.supernode) | (r == g.supernode)
+                if int(touches.sum()) == 2 * (g.n_node - 1):
+                    s, r = s[~touches], r[~touches]
             if not len(s):
                 continue
             pos = np.arange(g.n_node, dtype=np.int64)

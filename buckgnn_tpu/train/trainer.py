@@ -314,21 +314,28 @@ def train_gnn(
     # sticky edge-window caps: repack_every_epoch reshuffles batch
     # composition, and a shuffle that shifts the max per-tile edge count
     # would change the windowed shapes and recompile the train step —
-    # feed the largest caps seen so far back in as floors
-    win_floors = {"w": 0, "f": 0}
+    # feed the largest caps seen so far back in as floors. The local
+    # star-window fallback is sticky the same way: once any repack's
+    # tiles span too many graphs (gwin stripped -> global star tables),
+    # later packs are forced global too so the treedef never flips back.
+    win_floors = {"w": 0, "f": 0, "local_star": True}
 
     def pack(data, shuffle, seed):
         batches = list(
             batch_iterator(data, cfg.batch_size, n_node_cap, n_edge_cap,
                            shuffle=shuffle, seed=seed,
                            min_win_cap=win_floors["w"],
-                           min_far_cap=win_floors["f"], **band_kw)
+                           min_far_cap=win_floors["f"],
+                           local_star_windows=win_floors["local_star"],
+                           **band_kw)
         )
         if batches and batches[0].win_edges is not None:
             win_floors["w"] = max(win_floors["w"],
                                   batches[0].win_edges.shape[1])
             win_floors["f"] = max(win_floors["f"],
                                   batches[0].win_far_pos.shape[0])
+        if any(b.gcode is not None and b.gwin is None for b in batches):
+            win_floors["local_star"] = False
         if cfg.segment_impl == "banded_partitioned":
             # attach edge-partitioned shards (parallel/partitioned.py) for
             # the 'model' axis of the ambient mesh (jax.set_mesh); one

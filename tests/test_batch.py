@@ -156,6 +156,59 @@ def test_select_band_geometry_ignores_supernode_stars():
     assert b.has_supernode_edges
 
 
+def test_select_band_geometry_counts_partial_stars():
+    """Width selection only excludes supernode edges when the star is
+    FULL (2*(n-1) directed edges) — the same guard _band_split applies.
+    A partial star lands in band/spill at pack time, so its edges must
+    count toward the width choice instead of being silently dropped."""
+    from buckgnn_tpu.graph.batch import select_band_geometry
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    import dataclasses as dc
+
+    # graphs must exceed one band slab (tile+width) for star edges to
+    # leave the band at all; 24-28-side grids are 576-784 nodes
+    ds = generate_dataset(4, seed=3, min_side=24, max_side=28,
+                          use_super_node=True, use_virtual_edges=False)
+    partial = []
+    for g in ds:
+        # drop ONE directed star edge -> the star is no longer full
+        touches = (g.senders == g.supernode) | (g.receivers == g.supernode)
+        drop = np.where(touches)[0][0]
+        keep = np.ones(g.n_edge, dtype=bool)
+        keep[drop] = False
+        partial.append(dc.replace(
+            g, senders=g.senders[keep], receivers=g.receivers[keep],
+            edge_attr=g.edge_attr[keep]))
+    # star edges reach across the whole graph: counting them caps the
+    # in-band fraction ~0.75 and forces the widest candidate
+    _, w_partial = select_band_geometry(partial)
+    assert w_partial == 256, w_partial
+    # analytic_supernode=False counts stars even when full
+    _, w_off = select_band_geometry(ds, analytic_supernode=False)
+    assert w_off == 256, w_off
+
+
+def test_batch_iterator_local_star_windows_flag():
+    """local_star_windows=False forces the global star-table path (gwin
+    stripped) — the trainer's sticky fallback for borderline datasets
+    whose repacks would otherwise flip treedefs mid-training."""
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+
+    ds = generate_dataset(6, seed=3, min_side=8, max_side=12,
+                          use_super_node=True, use_virtual_edges=False)
+    n = sum(g.n_node for g in ds) + 1
+    ncap = ((max(n, 256 + 64) + 255) // 256) * 256
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    kw = dict(band_width=64, band_tile=256, rcm=True)
+    b_local = next(iter(batch_iterator(ds, 6, ncap, ecap, **kw)))
+    assert b_local.gcode is not None and b_local.gwin is not None
+    b_glob = next(iter(batch_iterator(ds, 6, ncap, ecap,
+                                      local_star_windows=False, **kw)))
+    assert b_glob.gcode is not None
+    assert b_glob.gwin is None and b_glob.lcode is None
+    assert b_glob.lacc is None
+
+
 def test_batch_iterator_window_cap_floors():
     """min_win_cap/min_far_cap pad the run-wide EA edge-window caps up to
     caller-supplied floors — the trainer feeds back the largest caps seen

@@ -327,11 +327,16 @@ def test_local_star_window_matches_global(rng):
             return jnp.sum(z2.astype(jnp.float32) * probe)
         return f
 
+    # On CPU interpret the windowed (K=2*GW) and full-table (K=tg)
+    # selection matmuls agree bitwise (one-hot columns add exact zeros),
+    # but real-TPU / future Mosaic scheduling may reassociate the f32
+    # accumulation — compare with a tight tolerance, not equality.
     vl = float(jax.jit(loss_fn(ctx_l))(x, w_l))
     vg = float(jax.jit(loss_fn(ctx_g))(x, w_l))
-    assert vl == vg
+    np.testing.assert_allclose(vl, vg, rtol=1e-6, atol=1e-6)
     gl = jax.jit(jax.grad(loss_fn(ctx_l), argnums=(0, 1)))(x, w_l)
     gg = jax.jit(jax.grad(loss_fn(ctx_g), argnums=(0, 1)))(x, w_l)
     for a, b in zip(gl, gg):
-        np.testing.assert_array_equal(np.asarray(a, np.float32),
-                                      np.asarray(b, np.float32))
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-6)
