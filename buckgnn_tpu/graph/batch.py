@@ -342,11 +342,15 @@ def _host_spill_ranges(spill_r: np.ndarray, n_node_cap: int, tile: int):
     ).astype(np.int32)
     win = np.clip((off[:-1] // SPILL_ALIGN) * SPILL_ALIGN,
                   0, es - SPILL_CHUNK)
-    # Window-coverage invariant (checked, not implied): every tile's spill
-    # rows must fit its SPILL_CHUNK window. _band_split's per-tile caps
-    # (incl. the last tile hosting the dead-node padding) guarantee this;
-    # fail loudly if the padding rule or SPILL_CHUNK ever changes.
-    assert np.all(off[1:] - win <= SPILL_CHUNK), (
+    # Window-coverage invariant (checked, not implied): every tile's REAL
+    # spill rows must fit its SPILL_CHUNK window. _band_split's per-tile
+    # caps guarantee this; fail loudly if the padding rule or SPILL_CHUNK
+    # ever changes. Dead-node padding rows (receiver == dead, sorted last)
+    # are exempt: run-uniform spill caps (_pad_spill_to) can append far
+    # more than one window of them, and rows outside every window are
+    # simply never applied — inert by construction.
+    real_stop = np.searchsorted(spill_r, n_node_cap - 1, "left")
+    assert np.all(np.minimum(off[1:], real_stop) - win <= SPILL_CHUNK), (
         "spill window overflow: a tile's spill rows exceed its DMA window"
     )
     ids = np.arange(n_node_cap)
@@ -658,6 +662,48 @@ def pack_graphs(
     )
 
 
+def _pad_spill_to(b: GraphBatch, es_cap: int, e2_cap: int,
+                  eb_cap: int = 0) -> GraphBatch:
+    """Grow a batch's band / spill / spill2 edge lists to run-uniform
+    capacities by appending dead-node self-loop rows (receiver == dead
+    sorts last, so the (r, k)-lexsorted / receiver-sorted orders are
+    preserved) and recomputing the fused-spill window geometry. Padding
+    rows are inert: band-matrix counts land on the dead row, and spill
+    rows beyond the last tile's DMA window are never applied — see the
+    coverage invariant in _host_spill_ranges."""
+    kw = {}
+    dead = b.n_node_cap - 1
+    eb = int(b.band_senders.shape[0])
+    if eb_cap > eb:
+        bs_ = np.full(eb_cap, dead, np.int32)
+        br_ = np.full(eb_cap, dead, np.int32)
+        bs_[:eb] = np.asarray(b.band_senders)
+        br_[:eb] = np.asarray(b.band_receivers)
+        kw.update(band_senders=jnp.asarray(bs_),
+                  band_receivers=jnp.asarray(br_))
+    es = int(b.spill_senders.shape[0])
+    if es_cap > es:
+        ss = np.full(es_cap, dead, np.int32)
+        sr = np.full(es_cap, dead, np.int32)
+        ss[:es] = np.asarray(b.spill_senders)
+        sr[:es] = np.asarray(b.spill_receivers)
+        off, lo, hi = _host_spill_ranges(sr, b.n_node_cap, b.band_tile)
+        kw.update(spill_senders=jnp.asarray(ss),
+                  spill_receivers=jnp.asarray(sr),
+                  spill_offsets=jnp.asarray(off),
+                  spill_lo=jnp.asarray(lo),
+                  spill_hi=jnp.asarray(hi))
+    e2 = int(b.spill2_senders.shape[0])
+    if e2_cap > e2:
+        s2 = np.full(e2_cap, dead, np.int32)
+        r2 = np.full(e2_cap, dead, np.int32)
+        s2[:e2] = np.asarray(b.spill2_senders)
+        r2[:e2] = np.asarray(b.spill2_receivers)
+        kw.update(spill2_senders=jnp.asarray(s2),
+                  spill2_receivers=jnp.asarray(r2))
+    return b.replace(**kw) if kw else b
+
+
 def batch_iterator(
     dataset: Sequence[GraphData],
     batch_size: int,
@@ -673,6 +719,9 @@ def batch_iterator(
     analytic_supernode: bool = True,
     min_win_cap: int = 0,
     min_far_cap: int = 0,
+    min_spill_cap: int = 0,
+    min_spill2_cap: int = 0,
+    min_band_cap: int = 0,
     local_star_windows: bool = True,
 ) -> Iterator[GraphBatch]:
     """Yield fixed-shape GraphBatches (the DataLoader role, TRAIN_FINAL.py:1298).
@@ -742,6 +791,17 @@ def batch_iterator(
     batches = list(packed())
     any_spill = any(b.has_spill_edges for b in batches)
     any_spill2 = any(b.has_spill2_edges for b in batches)
+    # band/spill edge-list capacities must also be run-uniform (one
+    # compiled shape, DP stackability) — pad every batch to the run
+    # maxima. The floors play the same role as min_win_cap for per-epoch
+    # repacking.
+    es_cap = max(max(int(b.spill_senders.shape[0]) for b in batches),
+                 min_spill_cap)
+    e2_cap = max(max(int(b.spill2_senders.shape[0]) for b in batches),
+                 min_spill2_cap)
+    eb_cap = max(max(int(b.band_senders.shape[0]) for b in batches),
+                 min_band_cap)
+    batches = [_pad_spill_to(b, es_cap, e2_cap, eb_cap) for b in batches]
     # local star-table windows are all-or-nothing across the run (same
     # treedef): if any batch's tiles span too many graphs, strip them all.
     # local_star_windows=False forces the global path up front — the
@@ -846,6 +906,16 @@ def select_band_geometry(
         for g in graphs:
             s = np.asarray(g.senders, dtype=np.int64)
             r = np.asarray(g.receivers, dtype=np.int64)
+            # virtual edges are uniform-random global shortcuts: excluded
+            # from the RCM ordering (build.py::rcm_reorder) and
+            # unavoidable spill at ANY width — width selection must size
+            # the band for the MESH edges, not chase randomness into the
+            # widest band (which costs (tile+width) HBM/flops per slab
+            # while the virtual edges spill anyway)
+            from buckgnn_tpu.graph.build import _virtual_edge_mask
+
+            mesh_only = ~_virtual_edge_mask(g)
+            s, r = s[mesh_only], r[mesh_only]
             if analytic_supernode and g.supernode >= 0:
                 # supernode star edges never enter the band — pack_graphs
                 # handles full stars analytically (per-graph correction

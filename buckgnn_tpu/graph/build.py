@@ -332,6 +332,24 @@ def build_graph(
     )
 
 
+def _virtual_edge_mask(g: GraphData) -> np.ndarray:
+    """Boolean [E] mask of RANDOM virtual edges via the trailing
+    virtual-flag edge-feature dim (build_graph:259 writes 0 for real
+    edges; the normalizer never rescales it). Supernode star edges carry
+    the same flag (virtual.py::virtual_edge_features) but are handled by
+    their own analytic path with its own full-star guard — they are NOT
+    part of this mask."""
+    e = len(np.asarray(g.senders))
+    if g.edge_attr is None or g.edge_attr.shape[1] == 0:
+        return np.zeros(e, dtype=bool)
+    mask = np.asarray(g.edge_attr)[:, -1] != 0
+    if g.supernode >= 0:
+        s = np.asarray(g.senders)
+        r = np.asarray(g.receivers)
+        mask &= (s != g.supernode) & (r != g.supernode)
+    return mask
+
+
 def rcm_reorder(g: GraphData) -> GraphData:
     """Relabel nodes with a reverse Cuthill-McKee permutation so edges
     concentrate near the diagonal — the locality the block-banded SAGE path
@@ -341,18 +359,26 @@ def rcm_reorder(g: GraphData) -> GraphData:
     The supernode (always the last node, batch.py convention) stays last;
     its star edges are excluded from the RCM graph so they do not wreck the
     ordering (they are handled densely by the banded aggregator anyway).
+    Virtual edges (VirtualEdgeCreate.py:21-49 parity: uniform random node
+    pairs) are likewise excluded: they are global shortcuts with no
+    locality, and feeding them to RCM inflates the mesh bandwidth ~10x —
+    forcing width 256+ bands — while they still spill. Ordering by MESH
+    edges only keeps the band at the mesh's natural width (~the panel
+    side) and routes virtual edges through the kernel-fused spill window,
+    which is exactly the fixed-capacity random-access path they need.
     """
     from buckgnn_tpu.utils import native
 
     n = g.n_node
     s = np.asarray(g.senders, dtype=np.int64)
     r = np.asarray(g.receivers, dtype=np.int64)
+    keep = ~_virtual_edge_mask(g)
     if g.supernode >= 0:
-        keep = (s != g.supernode) & (r != g.supernode)
+        keep &= (s != g.supernode) & (r != g.supernode)
         perm_core = native.rcm_order(n - 1, s[keep], r[keep])
         perm = np.concatenate([perm_core, [n - 1]])
     else:
-        perm = native.rcm_order(n, s, r)
+        perm = native.rcm_order(n, s[keep], r[keep])
     inv = np.empty(n, dtype=np.int64)
     inv[perm] = np.arange(n)
     y = g.y

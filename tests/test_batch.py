@@ -255,3 +255,45 @@ def test_local_star_windows_fall_back_for_tiny_graphs():
     assert b.has_supernode_edges
     assert b.gwin is None and b.lcode is None and b.lacc is None
     assert b.gcode is not None  # global path stays available
+
+def test_batch_iterator_uniform_spill_caps():
+    """Spill / spill2 list capacities must be run-uniform (one compiled
+    shape; jax.tree.map stacking in the DP path), padded with inert
+    dead-node rows, with floors for cross-repack stability — and the
+    padded batches must aggregate identically to the per-batch shapes."""
+    import jax.numpy as jnp
+
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    from buckgnn_tpu.ops.banded import banded_sage_aggregate, make_agg_context
+    from buckgnn_tpu.ops.segment import segment_sum
+
+    ds = generate_dataset(12, seed=3, min_side=6, max_side=14,
+                          use_super_node=False, use_virtual_edges=True)
+    normed, _ = normalize_dataset(ds)
+    kw = dict(band_width=16, band_tile=128, rcm=True)
+    bs = list(batch_iterator(normed, 4, 1024, 4096, **kw))
+    assert len(bs) > 1
+    shapes = {(b.spill_senders.shape[0], b.spill2_senders.shape[0],
+               b.band_senders.shape[0]) for b in bs}
+    assert len(shapes) == 1, shapes
+    es, e2, eb = next(iter(shapes))
+    # floors grow the caps further (trainer repack feedback)
+    grown = list(batch_iterator(normed, 4, 1024, 4096,
+                                min_spill_cap=es + 256,
+                                min_spill2_cap=e2 + 128,
+                                min_band_cap=eb + 128, **kw))
+    assert all(b.spill_senders.shape[0] == es + 256 for b in grown)
+    assert all(b.spill2_senders.shape[0] == e2 + 128 for b in grown)
+    assert all(b.band_senders.shape[0] == eb + 128 for b in grown)
+    # padding must be inert: aggregation output matches the plain
+    # segment-sum oracle on real nodes
+    rng = np.random.default_rng(0)
+    for b in grown:
+        n = b.nodes.shape[0]
+        h = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+        out_b = np.asarray(banded_sage_aggregate(h, make_agg_context(b)))
+        out_s = np.asarray(segment_sum(h[b.senders], b.receivers, n))
+        real = np.asarray(b.node_mask)[:, None]
+        np.testing.assert_allclose(out_b * real, out_s * real,
+                                   rtol=2e-5, atol=2e-5)
