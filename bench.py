@@ -26,14 +26,22 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                       min_side=24, max_side=32, n_graphs=None,
                       impl="banded_pallas", compute_dtype="bfloat16",
                       band_width=None, band_tile=256, use_super_node=False,
-                      use_virtual_edges=None):
+                      use_virtual_edges=None, dataset=None, packing="exact"):
     """band_width=None auto-selects via select_band_geometry (the same
     source of truth the trainer uses); the bench meshes band fully at
-    width 64 (supernode stars are analytic and never enter the band)."""
+    width 64 (supernode stars are analytic and never enter the band).
+
+    ``dataset`` overrides the synthetic-panel dataset (e.g. organic
+    ``datagen`` meshes). ``packing="trainer"`` sizes capacities via the
+    trainer's own ``suggest_capacities`` (shuffle slack included) instead
+    of exact-fitting the batch — the configuration users actually run.
+    """
     import jax
 
     from buckgnn_tpu.config import TrainConfig
-    from buckgnn_tpu.graph.batch import batch_iterator, select_band_geometry
+    from buckgnn_tpu.graph.batch import (
+        batch_iterator, select_band_geometry, suggest_capacities,
+    )
     from buckgnn_tpu.graph.normalizer import normalize_dataset
     from buckgnn_tpu.graph.synthetic import generate_dataset
     from buckgnn_tpu.train.losses import get_loss_function
@@ -44,19 +52,17 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     n_graphs = n_graphs or batch_size
     if use_virtual_edges is None:
         use_virtual_edges = not use_super_node
-    ds = generate_dataset(n_graphs, seed=seed, min_side=min_side,
-                          max_side=max_side, use_super_node=use_super_node,
-                          use_virtual_edges=use_virtual_edges)
-    normed, nz = normalize_dataset(ds)
+    if dataset is None:
+        dataset = generate_dataset(
+            n_graphs, seed=seed, min_side=min_side, max_side=max_side,
+            use_super_node=use_super_node,
+            use_virtual_edges=use_virtual_edges)
+    else:
+        n_graphs = min(n_graphs, len(dataset))
+    normed, nz = normalize_dataset(dataset)
     cfg = TrainConfig(hidden_channels=hidden, num_layers=num_layers,
                       batch_size=batch_size, segment_impl=impl,
                       compute_dtype=compute_dtype)
-    # ONE fixed batch holds the whole dataset, so capacities are exact —
-    # suggest_capacities' shuffle slack would add ~11% pure-padding node
-    # tiles that cost full kernel time and carry zero edges
-    n_real = sum(g.n_node for g in normed) + 1  # + dead node
-    e_real = sum(g.n_edge for g in normed)
-    ecap = ((e_real + 255) // 128) * 128
     if impl.startswith("banded"):
         if band_width is None:
             band_tile, band_width = select_band_geometry(
@@ -65,20 +71,36 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
         bw = band_width
     else:
         bw = None
-    if bw is not None:
-        # 4-tile alignment so the Pallas kernels' unrolls engage
-        align = 4 * band_tile
-        ncap = ((max(n_real, band_tile + bw) + align - 1) // align) * align
+    if packing == "trainer":
+        # the trainer's own capacity policy (train/trainer.py:265-299):
+        # suggest_capacities slack so reshuffled epochs still pack
+        ncap, ecap = suggest_capacities(normed, batch_size)
+        if bw is not None:
+            align = 4 * band_tile
+            ncap = ((max(ncap, band_tile + bw) + align - 1) // align) * align
     else:
-        ncap = n_real
+        # ONE fixed batch holds the whole dataset, so capacities are exact —
+        # suggest_capacities' shuffle slack would add ~11% pure-padding node
+        # tiles that cost full kernel time and carry zero edges
+        n_real = sum(g.n_node for g in normed) + 1  # + dead node
+        e_real = sum(g.n_edge for g in normed)
+        ecap = ((e_real + 255) // 128) * 128
+        if bw is not None:
+            # 4-tile alignment so the Pallas kernels' unrolls engage
+            align = 4 * band_tile
+            ncap = ((max(n_real, band_tile + bw) + align - 1)
+                    // align) * align
+        else:
+            ncap = n_real
     # rcm=True matches the trainer's packing AND select_band_geometry's
     # probe order — the selected width is only valid for RCM node order
     batch = next(iter(batch_iterator(normed, batch_size, ncap, ecap,
                                      band_width=bw, band_tile=band_tile,
                                      rcm=bw is not None)))
-    assert int(np.sum(np.asarray(batch.graph_mask))) == n_graphs, (
-        "bench batch must hold the full dataset"
-    )
+    if packing == "exact":
+        assert int(np.sum(np.asarray(batch.graph_mask))) == n_graphs, (
+            "bench batch must hold the full dataset"
+        )
     model = build_model(cfg, normed[0].x.shape[1], normed[0].edge_attr.shape[1])
     opt = make_optimizer(cfg)
     state = init_state(model, opt, batch, seed=0)
