@@ -93,12 +93,42 @@ def _parse_field(s: str) -> float:
 def _fields(line: str) -> list[str]:
     if "," in line:
         return [f.strip() for f in line.split(",")]
+    if line[:8].rstrip().endswith("*"):
+        # large-field: 8-char name then 16-char columns
+        return [line[:8].strip()] + [
+            line[i : i + 16].strip() for i in range(8, len(line), 16)
+        ]
     # small-field: 8-char columns
     return [line[i : i + 8].strip() for i in range(0, len(line), 8)]
 
 
+# Bulk cards read_bdf PARSES into MeshModel. This is the deck contract:
+# anything else in the bulk section is skipped with a one-shot warning
+# naming the card (real HyperMesh exports carry CORD2R/SPCADD/PARAM/...
+# that this pipeline does not consume), never a silent drop.
+_PARSED_CARDS = frozenset(
+    {"GRID", "CQUAD4", "CTRIA3", "CBAR", "SPC1", "FORCE"}
+)
+# Property/material/solution cards the datagen writer emits with FIXED
+# reference constants (write_bdf, NastranExport.tcl:46-60) — recognized
+# (no foreign-card warning) but carrying nothing MeshModel stores.
+_KNOWN_IGNORED_CARDS = frozenset(
+    {"MAT1", "PSHELL", "PBAR", "EIGRL", "ENDDATA"}
+)
+
+
 def read_bdf(path: str) -> MeshModel:
-    """Minimal BDF reader for the reference card set."""
+    """Minimal BDF reader for the reference card set (module docstring).
+
+    Card contract: bulk-section cards in ``_PARSED_CARDS`` populate the
+    MeshModel; ``_KNOWN_IGNORED_CARDS`` are recognized no-ops; any OTHER
+    card type is skipped with a ``UserWarning`` naming it (once per
+    type). A malformed card of a PARSED type raises ``ValueError`` — a
+    deck that corrupts supported cards must fail loudly, not produce a
+    silently truncated mesh.
+    """
+    import warnings
+
     grid: dict[int, np.ndarray] = {}
     quads: list[tuple[int, list[int]]] = []
     trias: list[tuple[int, list[int]]] = []
@@ -108,18 +138,30 @@ def read_bdf(path: str) -> MeshModel:
 
     with open(path) as fh:
         lines = [ln.rstrip("\n") for ln in fh]
+    # executive + case control end at BEGIN BULK; without the marker the
+    # whole file is treated as bulk (bare card decks)
+    bulk_start = 0
+    for i, ln in enumerate(lines):
+        if ln.upper().startswith("BEGIN BULK"):
+            bulk_start = i + 1
+            break
     # join small-field continuations
     merged: list[str] = []
-    for ln in lines:
+    for ln in lines[bulk_start:]:
         if ln.startswith(("+", "*", " ")) and merged and not ln.strip() == "":
             merged[-1] += ln[8:]
         else:
             merged.append(ln)
+    unknown: set[str] = set()
     for ln in merged:
         if not ln or ln.startswith("$"):
             continue
         f = _fields(ln)
-        card = f[0].upper()
+        card = f[0].upper().rstrip("*")
+        if card not in _PARSED_CARDS:
+            if card and card not in _KNOWN_IGNORED_CARDS:
+                unknown.add(card)
+            continue
         try:
             if card == "GRID":
                 nid = int(f[1])
@@ -144,8 +186,17 @@ def read_bdf(path: str) -> MeshModel:
                     [_parse_field(f[5]), _parse_field(f[6]), _parse_field(f[7])]
                 )
                 forces.append((nid, scale, vec))
-        except (ValueError, IndexError):
-            continue
+        except (ValueError, IndexError) as e:
+            raise ValueError(
+                f"malformed {card} card in {path!r}: {ln!r}"
+            ) from e
+    if unknown:
+        warnings.warn(
+            f"read_bdf({path!r}): skipped unsupported card types "
+            f"{sorted(unknown)} — parsed set is {sorted(_PARSED_CARDS)}",
+            UserWarning,
+            stacklevel=2,
+        )
 
     node_ids = np.array(sorted(grid))
     id_to_idx = {nid: i for i, nid in enumerate(node_ids)}

@@ -125,3 +125,74 @@ def test_read_op2_requires_pynastran(tmp_path):
     p.write_bytes(b"not an op2")
     with pytest.raises(Exception):
         read_op2_results(str(p))
+
+
+def test_read_bdf_foreign_cards_skip_with_warning(tmp_path):
+    """A HyperMesh-style deck carrying unsupported cards (CORD2R, SPCADD,
+    PARAM, PLOAD4, LOAD, MAT8) must parse the supported set correctly and
+    warn ONCE naming every skipped type — never a silent drop. Known
+    datagen-emitted property/solution cards (MAT1/PSHELL/PBAR/EIGRL) are
+    recognized no-ops. Large-field GRID* coordinates parse exactly."""
+    import warnings
+
+    # large-field GRID*: 8-char name + 16-char fields (ID, CP, X1, X2),
+    # X3 on a '*' continuation — padded to the 72-char boundary as real
+    # writers emit it
+    grid2 = ("GRID*   " + "2".ljust(16) + "".ljust(16) + "100.".ljust(16)
+             + "0.".ljust(16) + "\n" + "*       " + "0.".ljust(16) + "\n")
+    deck = tmp_path / "foreign.bdf"
+    deck.write_text(
+        "SOL 105\n"
+        "CEND\n"
+        "SPC = 1\n"
+        "SUBCASE 1\n"
+        "  LOAD = 2\n"
+        "BEGIN BULK\n"
+        "PARAM,POST,-1\n"
+        "CORD2R,5,,0.,0.,0.,0.,0.,1.,1.,0.,0.\n"
+        "MAT1,1,76000.,,0.3\n"
+        "MAT8,2,130000.,10000.,.3,5000.\n"
+        "PSHELL,1,1,1.5\n"
+        "PBAR,900,1,160.,21333.,85333.\n"
+        "GRID,1,,0.,0.,0.\n"
+        + grid2 +
+        "GRID,3,,100.,100.,0.\n"
+        "GRID,4,,0.,100.,0.\n"
+        "CQUAD4,10,1,1,2,3,4\n"
+        "SPCADD,100,1,2\n"
+        "SPC1,1,123456,1,4\n"
+        "LOAD,2,1.,1.,3\n"
+        "PLOAD4,3,10,-0.1\n"
+        "FORCE,2,2,,1.,1000.,0.,0.\n"
+        "EIGRL,10,0.0,,1\n"
+        "ENDDATA\n"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mesh = read_bdf(str(deck))
+    msgs = [str(w.message) for w in rec if issubclass(w.category, UserWarning)]
+    assert len(msgs) == 1, msgs
+    for card in ("CORD2R", "SPCADD", "PARAM", "PLOAD4", "LOAD", "MAT8"):
+        assert card in msgs[0]
+    for card in ("MAT1", "PSHELL", "EIGRL", "SOL", "SUBCASE"):
+        assert card not in msgs[0]
+    # supported content parsed exactly despite the foreign cards
+    assert list(mesh.node_ids) == [1, 2, 3, 4]
+    np.testing.assert_allclose(mesh.coords[1], [100.0, 0.0, 0.0])
+    assert mesh.quads.tolist() == [[0, 1, 2, 3]]
+    assert mesh.spc_components == {0: "123456", 3: "123456"}
+    np.testing.assert_allclose(mesh.forces[1], [1000.0, 0.0, 0.0])
+
+
+def test_read_bdf_malformed_supported_card_raises(tmp_path):
+    """Corruption in a PARSED card type must fail loudly (ValueError), not
+    silently truncate the mesh."""
+    deck = tmp_path / "bad.bdf"
+    deck.write_text(
+        "BEGIN BULK\n"
+        "GRID,1,,0.,0.,0.\n"
+        "CQUAD4,10,1,1,TWO,3,4\n"
+        "ENDDATA\n"
+    )
+    with pytest.raises(ValueError, match="CQUAD4"):
+        read_bdf(str(deck))
