@@ -118,6 +118,13 @@ class DatasetNormalizer:
                     eigenvalues.append(float(data.eigenvalue))
                 elif data.y.size == 1:
                     eigenvalues.append(float(np.reshape(data.y, (-1,))[0]))
+            elif prediction_type == "mode_shape" and data.eigenvalue is not None:
+                # mode-shape graphs carry their eigenvalue on the side
+                # (GraphCreate.py:548-549) and normalize_dataset rescales it
+                # — the reference collects eigenvalues only for buckling
+                # (Normalizer.py:57-61) yet transforms them for mode_shape
+                # (GraphCreate.py:768), an unfit-scaler crash. Deliberate fix.
+                eigenvalues.append(float(data.eigenvalue))
             x = data.x
             fi = 0
             if use_axial_stress and data.edge_attr.shape[1] == 6:
@@ -160,12 +167,21 @@ class DatasetNormalizer:
                 if use_rotations:
                     ms_rot.append(x[:, fi : fi + 3])
                     fi += 3
+            elif prediction_type == "mode_shape":
+                # mode-shape targets live in y (GraphCreate.py:529-542; the
+                # reference's fit misses this case — Normalizer.py:119 only
+                # checks data.mode_shapes, which GraphCreate.py:551 sets for
+                # buckling runs only, leaving the scaler unfit for the very
+                # prediction type that normalizes y with it. Deliberate fix.)
+                ms_disp.append(np.asarray(data.y)[:, :3])
+                if use_rotations:
+                    ms_rot.append(np.asarray(data.y)[:, 3:])
             elif data.mode_shapes is not None:
                 ms_disp.append(data.mode_shapes[:, :3])
                 if use_rotations:
                     ms_rot.append(data.mode_shapes[:, 3:])
 
-        if prediction_type == "buckling" and eigenvalues:
+        if eigenvalues:
             ev = np.array(eigenvalues).reshape(-1, 1)
             self.eigenvalue_scaler.fit(ev)
             self.eigenvalue_min = np.min(ev, axis=0)

@@ -165,3 +165,20 @@ def test_train_static_disp(tmp_path):
     res = train_gnn(cfg, normed[:8], normed[8:], nz, str(tmp_path),
                     verbose=False)
     assert all(np.isfinite(h["train_loss"]) for h in res.history)
+
+def test_train_mode_shape(tmp_path):
+    """End-to-end mode_shape training (TRAIN_FINAL.py:1268-1279 target
+    slicing; Metrics.py:19-23 direction-normalized error): node-level
+    [n, 3] targets flow through slice_static_targets -> masked loss ->
+    finite history, and eval reports the mode-shape MAPE."""
+    ds = generate_dataset(12, seed=2, min_side=3, max_side=4,
+                          prediction_type="mode_shape")
+    assert ds[0].y.ndim == 2 and ds[0].y.shape[1] >= 3
+    normed, nz = normalize_dataset(ds, prediction_type="mode_shape")
+    cfg = _tiny_cfg(prediction_type="mode_shape", loss_function="graph_mae",
+                    num_epochs=3, batch_size=4)
+    res = train_gnn(cfg, normed[:8], normed[8:], nz, str(tmp_path),
+                    verbose=False)
+    assert all(np.isfinite(h["train_loss"]) for h in res.history)
+    assert all(np.isfinite(h["val_loss"]) for h in res.history)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
