@@ -100,6 +100,25 @@ def _pick_unroll(n_tiles: int, top: int) -> int:
 # matvec's relayout + issue overhead exceeds the VPU lane-reduce cost.
 ROWSUM_MXU = False
 
+# Forward-kernel spill scheduling experiment (benchmarks/
+# probe_spill_sched.py). The in-kernel spill costs 0.48 ms/layer vs the
+# 0.14 ms MXU floor of its selection matmul (2026-08-20 probe; the bwd
+# band kernel's identical code costs 0.13). Variants:
+#   "inline"   — sel built in f32 + convert, matmul inline (delta 0.526)
+#   "staged"   — all band matmuls first, spill matmuls in a second loop
+#                (0.500 — within noise of inline)
+#   "dma2"     — window fetched as two half-window DMAs, the second gated
+#                on the tile needing rows beyond CHUNK/2 — NEGATIVE
+#                (0.665): the split matmul + scalar select cost more than
+#                the saved window traffic; the delta is MXU/scheduling-
+#                inherent, not DMA-bound
+# ("bf16sel" — building sel directly in bf16 — does NOT compile: Mosaic
+#  can't relayout the i1 mask from the i32-compare (8,128) layout to the
+#  16-bit (16,128) layout; the f32 where + convert is the working form.)
+# Measured 2026-08-20, benchmarks/probe_spill_sched.py, virtual-edge
+# flagship shape (404 tiles, 34k spill rows); spill-off anchor 1.69 ms.
+SPILL_SCHED = "inline"
+
 # PROBE-ONLY (benchmarks/probe_epilogue_cost.py): attribute the forward
 # kernel's time above its MXU floor. "full" = production. "nonorm" skips
 # the L2-norm row-sum/rsqrt (inv := 1). "bare" additionally skips
@@ -164,15 +183,41 @@ def _slab_copy(x_hbm, slab_ref, sem, t, *, tile, width, n_nodes, slot):
     )
 
 
-def _spill_copy(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill, slot):
+def _spill_win_start(off_ref, t, n_spill):
     start = jnp.clip(
         (off_ref[t] // SPILL_ALIGN) * SPILL_ALIGN, 0, n_spill - SPILL_CHUNK
     )
-    start = pl.multiple_of(start, SPILL_ALIGN)
+    return pl.multiple_of(start, SPILL_ALIGN)
+
+
+def _spill_copy(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill, slot):
+    start = _spill_win_start(off_ref, t, n_spill)
     return pltpu.make_async_copy(
         msgs_hbm.at[pl.ds(start, SPILL_CHUNK), :], msg_ref.at[slot],
         msem.at[slot],
     )
+
+
+def _spill_copy_half(msgs_hbm, off_ref, msg_ref, msem, t, *, n_spill,
+                     slot, part):
+    """Half-window copy for SPILL_SCHED == 'dma2'. ``msem`` is [nbuf, 2].
+    The second half (part=1) is started/waited only under
+    ``_spill_need2``; rows beyond a tile's hi are never selected, so a
+    stale upper half is inert when skipped."""
+    half = SPILL_CHUNK // 2
+    start = _spill_win_start(off_ref, t, n_spill) + part * half
+    start = pl.multiple_of(start, SPILL_ALIGN)
+    return pltpu.make_async_copy(
+        msgs_hbm.at[pl.ds(start, half), :],
+        msg_ref.at[slot, pl.ds(part * half, half)],
+        msem.at[slot, part],
+    )
+
+
+def _spill_need2(off_ref, t, n_spill):
+    # does this tile's spill range extend past the first half-window?
+    start = _spill_win_start(off_ref, t, n_spill)
+    return off_ref[t + 1] - start > SPILL_CHUNK // 2
 
 
 def _seed_tile(seed_ref, t):
@@ -212,11 +257,35 @@ def _fwd_kernel(
     if has_spill:
         scopy = functools.partial(_spill_copy, msgs_hbm, spill_off_ref,
                                   msg_ref, msem, n_spill=n_spill)
+        shalf = functools.partial(_spill_copy_half, msgs_hbm, spill_off_ref,
+                                  msg_ref, msem, n_spill=n_spill)
+        sneed2 = functools.partial(_spill_need2, spill_off_ref,
+                                   n_spill=n_spill)
+
+    def spill_start(i, slot):
+        if SPILL_SCHED == "dma2":
+            shalf(i, slot=slot, part=0).start()
+
+            @pl.when(sneed2(i))
+            def _():
+                shalf(i, slot=slot, part=1).start()
+        else:
+            scopy(i, slot=slot).start()
+
+    def spill_wait(i, slot):
+        if SPILL_SCHED == "dma2":
+            shalf(i, slot=slot, part=0).wait()
+
+            @pl.when(sneed2(i))
+            def _():
+                shalf(i, slot=slot, part=1).wait()
+        else:
+            scopy(i, slot=slot).wait()
 
     def start_all(i, slot):
         copy(i, slot=slot).start()
         if has_spill:
-            scopy(i, slot=slot).start()
+            spill_start(i, slot)
 
     nbuf = slab_ref.shape[0]
     base = p * unroll
@@ -241,7 +310,30 @@ def _fwd_kernel(
     # VPU epilogues — gives Mosaic's scheduler independent matmul and
     # vector chains to interleave instead of a strict
     # matmul->epilogue->matmul sequence per tile
-    staged = []
+    def spill_term(j, t, slot):
+        m_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                          (tile, SPILL_CHUNK), 1)
+        mask = (m_iota >= lo_ref[j]) & (m_iota < hi_ref[j])
+        # sel must be built in f32 then converted: Mosaic cannot relayout
+        # the i1 mask from the i32-compare (8,128) layout straight to a
+        # 16-bit (16,128) layout
+        sel = jnp.where(mask, jnp.float32(1),
+                        jnp.float32(0)).astype(x_dtype)
+        if SPILL_SCHED == "dma2":
+            # the upper half-window may hold stale/uninitialized rows when
+            # its DMA was skipped; sel is zero there, but 0 * NaN = NaN —
+            # discard with a SELECT on the same scalar that gated the DMA
+            half = SPILL_CHUNK // 2
+            t1 = jnp.dot(sel[:, :half], msg_ref[slot, :half],
+                         preferred_element_type=jnp.float32)
+            t2 = jnp.dot(sel[:, half:], msg_ref[slot, half:],
+                         preferred_element_type=jnp.float32)
+            return t1 + jnp.where(sneed2(t), t2,
+                                  jnp.zeros_like(t2))
+        return jnp.dot(sel, msg_ref[slot],
+                       preferred_element_type=jnp.float32)
+
+    accs = []
     for j in range(unroll):
         t = base + j
         slot = jax.lax.rem(t, nbuf)
@@ -252,14 +344,17 @@ def _fwd_kernel(
             b = b.astype(jnp.float32).astype(x_dtype)
         acc = jnp.dot(b, slab_ref[slot].astype(b.dtype),
                       preferred_element_type=jnp.float32)
-        if has_spill:
-            scopy(t, slot=slot).wait()
-            m_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                              (tile, SPILL_CHUNK), 1)
-            sel = (m_iota >= lo_ref[j]) & (m_iota < hi_ref[j])
-            sel = jnp.where(sel, jnp.float32(1), jnp.float32(0))
-            acc = acc + jnp.dot(sel.astype(x_dtype), msg_ref[slot],
-                                preferred_element_type=jnp.float32)
+        if has_spill and SPILL_SCHED != "staged":
+            spill_wait(t, slot)
+            acc = acc + spill_term(j, t, slot)
+        accs.append((t, slot, acc))
+    if has_spill and SPILL_SCHED == "staged":
+        accs = [(t, slot, acc + (spill_wait(t, slot)
+                                 or spill_term(j, t, slot)))
+                for j, (t, slot, acc) in enumerate(accs)]
+
+    staged = []
+    for j, (t, slot, acc) in enumerate(accs):
 
         if has_super:
             # per-row one-hot over the per-graph correction table: rows
@@ -450,7 +545,8 @@ def _call_fwd(x, w_l, b_l, w_r, band, spill_off, spill_lo, spill_hi,
         pltpu.VMEM((nbuf, slab, h), x.dtype),
         pltpu.SemaphoreType.DMA((nbuf,)),
         pltpu.VMEM((nbuf, SPILL_CHUNK, h), x.dtype),
-        pltpu.SemaphoreType.DMA((nbuf,)),
+        pltpu.SemaphoreType.DMA(
+            (nbuf, 2) if SPILL_SCHED == "dma2" else (nbuf,)),
     ]
     if emit_table:
         scratch.append(pltpu.VMEM((tg, h), jnp.float32))

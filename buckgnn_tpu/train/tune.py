@@ -13,6 +13,9 @@ from __future__ import annotations
 import dataclasses
 import itertools
 import math
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
 import numpy as np
@@ -60,6 +63,10 @@ class ASHAStopper:
         self.rf = reduction_factor
         self.max_t = max_t
         self.rungs: dict[int, list[float]] = {}
+        # concurrent trials (max_concurrent > 1) report to shared rungs
+        # from worker threads — exactly Ray's ASYNC successive halving,
+        # where each arrival compares against the observations so far
+        self._lock = threading.Lock()
         r = grace_period
         while r < max_t:
             self.rungs[r] = []
@@ -69,11 +76,12 @@ class ASHAStopper:
         rung = epoch + 1
         if rung not in self.rungs:
             return False
-        scores = self.rungs[rung]
-        scores.append(self.sign * value)
-        k = max(1, math.ceil(len(scores) / self.rf))
-        cutoff = sorted(scores)[k - 1]
-        return self.sign * value > cutoff
+        with self._lock:
+            scores = self.rungs[rung]
+            scores.append(self.sign * value)
+            k = max(1, math.ceil(len(scores) / self.rf))
+            cutoff = sorted(scores)[k - 1]
+            return self.sign * value > cutoff
 
 
 def hyperparameter_optimization(
@@ -86,13 +94,23 @@ def hyperparameter_optimization(
     grace_period: int | None = None,
     reduction_factor: int = 4,
     verbose: bool = False,
+    max_concurrent: int = 1,
 ):
     """Run all grid trials with ASHA early stopping; returns
     (best_config_dict, results list) — TRAIN_FINAL.py:99-147 parity.
 
     ``grace_period=None`` defaults to num_epochs // 10 (the reference's ASHA
     used grace windows far below max_t, TRAIN_FINAL.py:122-134); a grace
-    period >= num_epochs would make early stopping inert."""
+    period >= num_epochs would make early stopping inert.
+
+    ``max_concurrent > 1`` schedules trials asynchronously across devices
+    (the role of Ray Tune's trial executor, TRAIN_FINAL.py:122-134): a
+    thread pool runs up to that many trials at once, each pinned to a
+    device from a round-robin pool via ``jax.default_device``, and ASHA
+    rungs fill from whichever trials arrive first — true ASYNC successive
+    halving instead of the sequential approximation."""
+    import jax
+
     metric = "val_mape" if prediction_type == "buckling" else "val_loss"
     trials = expand_grid(base_config)
     max_t = int(base_config.get("num_epochs", 1000))
@@ -102,24 +120,49 @@ def hyperparameter_optimization(
         metric=metric, mode="min", grace_period=grace_period,
         reduction_factor=reduction_factor, max_t=max_t,
     )
+    field_names = {f.name for f in dataclasses.fields(TrainConfig)}
 
-    results = []
-    for i, cdict in enumerate(trials):
+    def run_trial(i, cdict, device):
         cfg = TrainConfig(**{
-            k: v for k, v in cdict.items()
-            if k in {f.name for f in dataclasses.fields(TrainConfig)}
+            k: v for k, v in cdict.items() if k in field_names
         })
 
         def report(h, _stop=stopper, _m=metric):
             return not _stop.should_stop(h["epoch"], h[_m])
 
-        res = train_gnn(
-            cfg, train_data, val_data, normalizer, output_dir,
-            trial_id=f"trial_{i:05d}", report_fn=report, verbose=verbose,
-        )
+        import contextlib
+
+        ctx = (jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
+        with ctx:
+            res = train_gnn(
+                cfg, train_data, val_data, normalizer, output_dir,
+                trial_id=f"trial_{i:05d}", report_fn=report,
+                verbose=verbose,
+            )
         final = res.history[-1]
-        results.append(dict(config=cdict, best_val_mape=res.best_val_mape,
-                            final=final, log_dir=res.log_dir))
+        return dict(config=cdict, best_val_mape=res.best_val_mape,
+                    final=final, log_dir=res.log_dir)
+
+    if max_concurrent <= 1:
+        results = [run_trial(i, c, None) for i, c in enumerate(trials)]
+    else:
+        # round-robin device pool: concurrent trials land on distinct
+        # devices (virtual CPU devices in tests, chips on a pod)
+        devs = jax.devices()
+        slots: queue.Queue = queue.Queue()
+        for k in range(max_concurrent):
+            slots.put(devs[k % len(devs)])
+
+        def worker(i, cdict):
+            dev = slots.get()
+            try:
+                return run_trial(i, cdict, dev)
+            finally:
+                slots.put(dev)
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            results = list(ex.map(worker, range(len(trials)), trials))
 
     key = (
         (lambda r: r["best_val_mape"])
