@@ -274,16 +274,16 @@ def write_bdf(mesh: MeshModel, path: str, eigrl_nd: int = 1) -> None:
 
 
 def read_op2_results(op2_path: str) -> FEAResults:
-    """OP2 parsing via pyNastran when available
-    (parse_nastran_results, GraphCreate.py:55-110)."""
+    """Binary OP2 parsing (parse_nastran_results, GraphCreate.py:55-110):
+    pyNastran when installed (full format coverage), else the in-repo
+    FORTRAN-record reader (graph/op2.py, the BuckGNN OFP subset). Both
+    produce pyNastran's attribute layout, so extraction is shared."""
     try:
         from pyNastran.op2.op2 import OP2  # type: ignore
-    except ImportError as e:
-        raise ImportError(
-            "OP2 parsing requires pyNastran, which is not installed in this "
-            "environment; use the synthetic oracle or provide FEAResults "
-            "directly."
-        ) from e
+    except ImportError:
+        from buckgnn_tpu.graph.op2 import read_op2
+
+        return extract_op2_results(read_op2(op2_path))
 
     op2 = OP2(debug=False)
     op2.read_op2(op2_path)
