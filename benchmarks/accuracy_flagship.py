@@ -1,0 +1,76 @@
+"""Flagship-shape accuracy with variance bars (VERDICT r2 weak #7 / #8b).
+
+Trains the FLAGSHIP configuration — GraphSage_addAggr_Shared, 6 layers,
+hidden 512, supernode pooling, banded_pallas, bf16, dropout 0.1 — on the
+synthetic datagen-distribution oracle with MULTIPLE SEEDS, so the
+accuracy-parity claim carries run-to-run variance instead of a single
+point. The r2 proxy experiment (benchmarks/accuracy_parity.py) compared
+architectures at h=64/L=3; this one fixes the exact flagship shape.
+
+Usage: timeout 5400 python benchmarks/accuracy_flagship.py \
+          [--graphs 512] [--epochs 120] [--seeds 0 1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--outdir", default="/tmp/acc_flagship")
+    args = ap.parse_args()
+
+    from buckgnn_tpu.config import TrainConfig
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.graph.split import dataset_split
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    from buckgnn_tpu.train.trainer import train_gnn
+
+    ds = generate_dataset(args.graphs, seed=100, min_side=16, max_side=24,
+                          use_super_node=True, use_virtual_edges=False)
+    idx_tr, idx_va = dataset_split(ds, lengths=(0.85, 0.15), seed=0)
+    tr = [ds[int(i)] for i in idx_tr]
+    va = [ds[int(i)] for i in idx_va]
+    print(f"dataset: {len(tr)}/{len(va)} graphs "
+          f"(~{int(np.mean([g.n_node for g in ds]))} nodes each)",
+          flush=True)
+    normed_tr, nz = normalize_dataset(tr)
+    normed_va, _ = normalize_dataset(va, normalizer=nz)
+
+    results = []
+    for seed in args.seeds:
+        cfg = TrainConfig(
+            model_name="GraphSage_addAggr_Shared", hidden_channels=512,
+            num_layers=6, batch_size=128, dropout_rate=0.1, lr=1e-3,
+            num_epochs=args.epochs, seed=seed,
+            pooling_layer="supernode_with_pooling",
+            segment_impl="banded_pallas", compute_dtype="bfloat16",
+        )
+        t0 = time.time()
+        res = train_gnn(cfg, normed_tr, normed_va, nz,
+                        os.path.join(args.outdir, f"seed{seed}"),
+                        trial_id=f"flagship_seed{seed}", verbose=False)
+        results.append(res.best_val_mape)
+        print(f"seed {seed}: best val MAPE {res.best_val_mape:.3f}%  "
+              f"final {res.history[-1]['val_mape']:.3f}%  "
+              f"({time.time() - t0:.0f}s, {args.epochs} epochs)",
+              flush=True)
+
+    r = np.asarray(results)
+    print(f"FLAGSHIP 6L h512 supernode, {len(r)} seeds: "
+          f"best val MAPE mean {r.mean():.3f}%  min {r.min():.3f}%  "
+          f"max {r.max():.3f}%  spread {r.max() - r.min():.3f}pp",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
