@@ -193,6 +193,7 @@ def cmd_tune(args) -> int:
         base_full, train, val, nz, args.output_dir,
         prediction_type=data_cfg.prediction_type,
         grace_period=args.grace_period,
+        max_concurrent=args.max_concurrent,
     )
     print(json.dumps({"best_config": best, "n_trials": len(results)}))
     return 0
@@ -333,6 +334,9 @@ def build_parser() -> argparse.ArgumentParser:
                         '{"lr": [1e-2, 1e-3], "hidden_channels": [128]}')
     u.add_argument("--grace-period", type=int, default=None,
                    help="ASHA rung base; default num_epochs // 10")
+    u.add_argument("--max-concurrent", type=int, default=1,
+                   help="trials run at once, round-robin across devices "
+                        "(Ray trial-executor role)")
     _add_data_flags(u)
     _add_train_flags(u)
     u.set_defaults(fn=cmd_tune)

@@ -145,11 +145,24 @@ def read_bdf(path: str) -> MeshModel:
         if ln.upper().startswith("BEGIN BULK"):
             bulk_start = i + 1
             break
-    # join small-field continuations
+    # join continuation lines. In both small- and large-field formats the
+    # data region runs through column 72 (cols 1-8 name / continuation
+    # marker, cols 73-80 continuation pointer); writers routinely strip
+    # trailing blanks, so pad the parent back out to the 72-column
+    # boundary before appending — otherwise every appended field shifts
+    # left and 16-char large-field columns misparse. Each continuation
+    # contributes its own 64-char data region, padded likewise, keeping
+    # the boundary aligned across multiple continuations.
     merged: list[str] = []
     for ln in lines[bulk_start:]:
         if ln.startswith(("+", "*", " ")) and merged and not ln.strip() == "":
-            merged[-1] += ln[8:]
+            parent = merged[-1]
+            if "," in parent:
+                merged[-1] = parent + ln[8:]  # free-field: comma split
+            else:
+                if len(parent) <= 80:  # un-merged original line
+                    parent = parent[:72].ljust(72)
+                merged[-1] = parent + ln[8:72].ljust(64)
         else:
             merged.append(ln)
     unknown: set[str] = set()

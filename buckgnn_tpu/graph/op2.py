@@ -86,8 +86,16 @@ def _iter_records(path: str):
             if len(head) < 4:
                 raise ValueError(f"{path}: truncated record header")
             n = struct.unpack("<i", head)[0]
-            if n < 0:
-                raise ValueError(f"{path}: negative record length {n}")
+            if n < 0 or n > 1 << 27:
+                # a sane OFP record is KBs; a wildly large/negative fence
+                # almost always means a big-endian file (byte-swapped
+                # length) or 8-byte record fences — fail loudly instead of
+                # reading garbage
+                raise ValueError(
+                    f"{path}: implausible record length {n} — not a "
+                    "little-endian 4-byte-fence OP2 (big-endian or 64-bit "
+                    "record markers are not supported)"
+                )
             payload = f.read(n)
             tail = f.read(4)
             if len(payload) < n or len(tail) < 4:
@@ -268,19 +276,36 @@ def read_op2(path: str):
 
     table = None
     pending_ident: np.ndarray | None = None
+    pending_data: list[bytes] = []
+
+    def flush():
+        # a large table may be split across SEVERAL consecutive DATA
+        # records (real Nastran splits long tables; one IDENT still
+        # governs them all) — concatenate everything accumulated since
+        # the IDENT and parse it as one table body
+        nonlocal pending_ident, pending_data
+        if pending_ident is not None and pending_data:
+            _read_data(out, lama_eigs, table, pending_ident,
+                       b"".join(pending_data))
+        pending_ident, pending_data = None, []
+
     for rec in _iter_records(path):
         if len(rec) == 8 and rec in _TABLE_NAMES:
-            table, pending_ident = rec.rstrip().decode(), None
+            flush()
+            table = rec.rstrip().decode()
             continue
-        if table is None or len(rec) == 4:
-            continue  # preamble / markers
+        if len(rec) == 4:
+            flush()  # marker record closes the current IDENT/DATA group
+            continue
+        if table is None:
+            continue  # file preamble
         if len(rec) == 4 * _IDENT_WORDS and pending_ident is None:
             pending_ident = np.frombuffer(rec, np.int32)
             continue
         if pending_ident is None:
             continue  # data record of a table we never identified
-        ident, pending_ident = pending_ident, None
-        _read_data(out, lama_eigs, table, ident, rec)
+        pending_data.append(rec)
+    flush()
 
     if lama_eigs:
         for ev in out.eigenvectors.values():

@@ -15,6 +15,7 @@ import itertools
 import math
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -134,15 +135,23 @@ def hyperparameter_optimization(
 
         ctx = (jax.default_device(device) if device is not None
                else contextlib.nullcontext())
+        t_start = time.perf_counter()
         with ctx:
             res = train_gnn(
                 cfg, train_data, val_data, normalizer, output_dir,
                 trial_id=f"trial_{i:05d}", report_fn=report,
                 verbose=verbose,
             )
+        t_end = time.perf_counter()
         final = res.history[-1]
+        # schedule record: (start, end) wall interval + device the trial ran
+        # on — lets callers/tests assert OBSERVED concurrency structurally
+        # (overlapping intervals, distinct devices) instead of relying on a
+        # load-sensitive wall-clock speedup comparison
         return dict(config=cdict, best_val_mape=res.best_val_mape,
-                    final=final, log_dir=res.log_dir)
+                    final=final, log_dir=res.log_dir,
+                    schedule=dict(start=t_start, end=t_end,
+                                  device=str(device)))
 
     if max_concurrent <= 1:
         results = [run_trial(i, c, None) for i, c in enumerate(trials)]

@@ -117,6 +117,28 @@ def test_extract_op2_results_mock():
     assert 55 not in res.gp_forces.get(1, {})
 
 
+def test_read_bdf_large_field_stripped_continuation(tmp_path):
+    """GRID* decks whose writers strip trailing blanks before the
+    continuation (common) must still column-align: the parent line is
+    padded back to the 72-char data boundary before the continuation's
+    fields are appended (ADVICE r3). Also covers a continuation chain of
+    two lines, each stripped."""
+    deck = tmp_path / "stripped.bdf"
+    deck.write_text(
+        "BEGIN BULK\n"
+        # parent ends right after X1 — X2 field's trailing blanks gone
+        "GRID*   " + "7".ljust(16) + "".ljust(16) + "12.5".ljust(16)
+        + "-3.\n"
+        + "*       " + "4.75\n"
+        "GRID,8,,1.,2.,3.\n"
+        "CQUAD4,1,1,7,8,7,8\n"
+        "ENDDATA\n"
+    )
+    mesh = read_bdf(str(deck))
+    i7 = list(mesh.node_ids).index(7)
+    np.testing.assert_allclose(mesh.coords[i7], [12.5, -3.0, 4.75])
+
+
 def test_read_op2_requires_pynastran(tmp_path):
     pytest.importorskip("pyNastran", reason="pyNastran not installed")
     # pyNastran present: reading a non-OP2 file must raise its own error,
