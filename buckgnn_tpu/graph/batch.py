@@ -156,6 +156,15 @@ class GraphBatch:
     win_ridx: jnp.ndarray | None = None      # [n_tiles, W] int32
     win_far_pos: jnp.ndarray | None = None   # [F_cap] int32
     win_far_send: jnp.ndarray | None = None  # [F_cap] int32
+    # TILED far layout for the fused EA block kernel
+    # (ops/pallas_ea_block.py): the same out-of-band edges regrouped per
+    # receiver tile with a uniform per-tile cap Ct. win_far_tsend[t, j]
+    # is far row j's global sender id (dead node for pads); its window
+    # slot is encoded in win_sidx as the EXTENDED-slab code slab + j, so
+    # the kernel's single [W, slab + Ct] selection matmul covers in-band
+    # and far senders alike (win pads carry FAR_SLOT_SENTINEL — a code no
+    # slab extension can reach, so cap widening never aliases a row).
+    win_far_tsend: jnp.ndarray | None = None  # [n_tiles, Ct] int32
     # static metadata (not traced)
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
@@ -221,6 +230,11 @@ def capacity_for(
 # guaranteed by the window-invariant assert in _host_spill_ranges).
 SPILL_CHUNK = 256
 SPILL_ALIGN = 16
+
+# Pad sentinel for GraphBatch.win_far_slot: a window-slot value no real
+# window can reach, and NOT tied to the window cap W so widening windows
+# (batch_iterator run-uniform caps) never turns a pad into a real slot.
+FAR_SLOT_SENTINEL = np.int32(1 << 30)
 
 # Rows per half of the per-tile local star-table window (GraphBatch.gwin
 # / lcode / lacc). Fixed (not data-derived) so every batch of a run
@@ -574,7 +588,12 @@ def pack_graphs(
             counts = np.bincount(tile_of[valid], minlength=n_tiles_b)
             w_cap = ((max(int(counts.max(initial=0)), 8) + 7) // 8) * 8
             w_edges = np.zeros((n_tiles_b, w_cap, fe_dim), dtype=np_dtype)
-            w_sidx = np.full((n_tiles_b, w_cap), slab, dtype=np.int32)
+            # pad slots carry FAR_SLOT_SENTINEL (not `slab`): any code
+            # >= slab is inert for the one-hot gathers, but extended-slab
+            # far codes occupy [slab, slab + Ct) and Ct can widen across
+            # runs — the sentinel must stay unreachable
+            w_sidx = np.full((n_tiles_b, w_cap), FAR_SLOT_SENTINEL,
+                             dtype=np.int32)
             w_ridx = np.full((n_tiles_b, w_cap), band_tile, dtype=np.int32)
             starts = np.clip(
                 np.arange(n_tiles_b) * band_tile - band_width // 2,
@@ -605,12 +624,28 @@ def pack_graphs(
                 np.int32
             )
             far_send[:f_cnt] = senders[idx_v][far]
+            # tiled far layout (fused EA block kernel): the same far rows
+            # regrouped per receiver tile under a uniform per-tile cap,
+            # with each far slot's win_sidx re-coded to the EXTENDED-slab
+            # index slab + rank (kernels then cover in-band and far
+            # senders with ONE selection matmul). t_val[far] is ascending
+            # (idx_v is receiver-ascending), so within-tile ranks come
+            # from subtracting first occurrences.
+            t_far = t_val[far]
+            per_tile = np.bincount(t_far, minlength=n_tiles_b)
+            ct_cap = ((max(int(per_tile.max(initial=0)), 8) + 7) // 8) * 8
+            far_tsend = np.full((n_tiles_b, ct_cap), dead, np.int32)
+            if f_cnt:
+                ranks = np.arange(f_cnt) - np.searchsorted(t_far, t_far)
+                far_tsend[t_far, ranks] = senders[idx_v][far]
+                w_sidx[t_far, pos[far]] = (slab + ranks).astype(np.int32)
             win_kw = dict(
                 win_edges=jnp.asarray(w_edges),
                 win_sidx=jnp.asarray(w_sidx),
                 win_ridx=jnp.asarray(w_ridx),
                 win_far_pos=jnp.asarray(far_pos),
                 win_far_send=jnp.asarray(far_send),
+                win_far_tsend=jnp.asarray(far_tsend),
             )
         super_kw.update(win_kw)
         band_kw = dict(
@@ -719,6 +754,7 @@ def batch_iterator(
     analytic_supernode: bool = True,
     min_win_cap: int = 0,
     min_far_cap: int = 0,
+    min_far_tile_cap: int = 0,
     min_spill_cap: int = 0,
     min_spill2_cap: int = 0,
     min_band_cap: int = 0,
@@ -821,14 +857,23 @@ def batch_iterator(
     # caller that repacks per epoch (trainer repack_every_epoch) can keep
     # ONE compiled shape across shuffles by feeding back the largest caps
     # seen so far instead of recompiling whenever a shuffle shifts the max
-    w_max = f_max = 0
+    w_max = f_max = ft_max = 0
     if batches and batches[0].win_edges is not None:
         w_max = max(max(b.win_edges.shape[1] for b in batches),
                     min_win_cap)
         f_max = max(max(b.win_far_pos.shape[0] for b in batches),
                     min_far_cap)
+        ft_max = max(max(b.win_far_tsend.shape[1] for b in batches),
+                     min_far_tile_cap)
     for b in batches:
         win_kw = {}
+        if ft_max and b.win_far_tsend.shape[1] < ft_max:
+            dft = ft_max - b.win_far_tsend.shape[1]
+            nt = b.win_far_tsend.shape[0]
+            win_kw["win_far_tsend"] = jnp.concatenate(
+                [b.win_far_tsend,
+                 jnp.full((nt, dft), b.n_node_cap - 1, jnp.int32)],
+                axis=1)
         if w_max and b.win_edges.shape[1] < w_max:
             dw = w_max - b.win_edges.shape[1]
             nt = b.win_edges.shape[0]
@@ -840,7 +885,8 @@ def batch_iterator(
                                b.win_edges.dtype)], axis=1),
                 win_sidx=jnp.concatenate(
                     [b.win_sidx,
-                     jnp.full((nt, dw), slab, jnp.int32)], axis=1),
+                     jnp.full((nt, dw), int(FAR_SLOT_SENTINEL),
+                              jnp.int32)], axis=1),
                 win_ridx=jnp.concatenate(
                     [b.win_ridx,
                      jnp.full((nt, dw), b.band_tile, jnp.int32)], axis=1),

@@ -309,11 +309,39 @@ class GraphNetBlock(nn.Module):
         senders: jnp.ndarray,
         receivers: jnp.ndarray,
         windows: tuple | None = None,  # (sidx, ridx, far_pos, far_send, deg)
+        fused: dict | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         h = self.hidden_channels
         num_nodes = x.shape[0]
         hx = x.shape[-1]
         fe = edge_attr.shape[-1]
+        if fused is not None:
+            # whole-block Pallas fusion (ops/pallas_ea_block.py): the
+            # entire edge_mlp/phi/scatter/gamma/beta chain PLUS the
+            # stack-level skip and dropout run as one kernel per node
+            # tile. The caller must have checked supports_fused_ea. Bind
+            # the identical param tree with dummy rows (dead code after
+            # tracing) and hand the flax subtree to the kernel wrapper.
+            from buckgnn_tpu.ops.pallas_ea_block import fused_ea_block
+            from buckgnn_tpu.ops.pallas_epilogue import seed_from_key
+
+            dt = self.dtype
+            _ = SplitFirstMLP(h, (hx, hx, fe), dtype=dt, name="edge_mlp")(
+                [jnp.zeros((8, hx), dt), jnp.zeros((8, hx), dt),
+                 jnp.zeros((8, fe), dt)])
+            _ = SplitFirstMLP(h, (hx, h), dtype=dt, name="node_mlp_phi")(
+                [jnp.zeros((8, hx), dt), jnp.zeros((8, h), dt)])
+            _ = SplitFirstMLP(h, (hx, h), dtype=dt, name="node_mlp_gamma")(
+                [jnp.zeros((8, hx), dt), jnp.zeros((8, h), dt)])
+            _ = MLP((h, h), dtype=dt, name="node_mlp_beta")(
+                jnp.zeros((8, h), dt))
+            key = fused["key"]
+            return fused_ea_block(
+                x, edge_attr, self.variables["params"], fused["batch"],
+                skip=fused["skip"], rate=fused["rate"],
+                seed=None if key is None else seed_from_key(key),
+                deterministic=fused["deterministic"],
+            )
         if self.window_geom is not None:
             from buckgnn_tpu.ops import ea_windowed as eaw
 

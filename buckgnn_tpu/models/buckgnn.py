@@ -308,13 +308,32 @@ class BuckGNN(nn.Module):
                 edge_attr
             )
             shared = name == "EA_GNN_Shared"
+            # whole-block Pallas fusion (ops/pallas_ea_block.py): the
+            # entire block + skip + dropout runs as one kernel per node
+            # tile, recomputing in its backward — no [T, W, H]
+            # intermediate ever reaches HBM, so remat is moot on this
+            # path. The in-kernel PRNG needs a real TPU (CPU covers
+            # interpret mode at rate 0); remat=True forces the windowed
+            # XLA path as an escape hatch.
+            can_fuse_ea = False
+            if win_geom is not None and self.remat is not True:
+                from buckgnn_tpu.ops.pallas_ea_block import (
+                    supports_fused_ea,
+                )
+
+                can_fuse_ea = supports_fused_ea(batch, h) and (
+                    deterministic
+                    or self.dropout_rate <= 0.0
+                    or jax.default_backend() == "tpu"
+                )
             # EA_GNN is edge-dense: each block holds [E, 2h+..] activations
             # (~1 GB/layer at flagship shape — the reference's batch-16
-            # memory wall, README.md:59-62). Remat the blocks by DEFAULT at
-            # h >= 256 so flagship-width EA_GNN trains at batch 128 on one
-            # 16 GB chip (O(1) activation memory; RESULTS.md has the
-            # measured step time).
-            ea_remat = (h >= 256 if self.remat is None else self.remat)
+            # memory wall, README.md:59-62). On the unfused path, remat
+            # the blocks by DEFAULT at h >= 256 so flagship-width EA_GNN
+            # trains at batch 128 on one 16 GB chip (O(1) activation
+            # memory; RESULTS.md has the measured step time).
+            ea_remat = (not can_fuse_ea
+                        and (h >= 256 if self.remat is None else self.remat))
             Block = nn.remat(GraphNetBlock) if ea_remat else GraphNetBlock
             if shared:
                 block = Block(h, dtype=self.dtype, window_geom=win_geom,
@@ -327,9 +346,26 @@ class BuckGNN(nn.Module):
                     else Block(h, dtype=self.dtype, window_geom=win_geom,
                                name=f"gn_block_{i}")
                 )
+                skip = 0 < i < L - 1
+                if can_fuse_ea:
+                    x, edge_attr = blk(
+                        x, edge_attr, senders, receivers, windows,
+                        fused=dict(
+                            skip=skip,
+                            rate=self.dropout_rate,
+                            key=(
+                                None
+                                if deterministic or self.dropout_rate <= 0.0
+                                else self.make_rng("dropout")
+                            ),
+                            deterministic=deterministic,
+                            batch=batch,
+                        ),
+                    )
+                    continue  # skip/dropout applied in-kernel
                 x, edge_attr = blk(x, edge_attr, senders, receivers,
                                    windows)
-                if 0 < i < L - 1:
+                if skip:
                     x = x + x_prev
                     edge_attr = edge_attr + e_prev
                 x = dropout(x)

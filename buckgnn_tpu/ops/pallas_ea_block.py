@@ -1,0 +1,695 @@
+"""Fully-fused edge-augmented GraphNetBlock (Pallas, TPU).
+
+One kernel invocation runs, per node tile, the ENTIRE block the reference
+computes as edge_mlp -> phi -> scatter_mean -> gamma -> beta
+(/root/reference/Models/BuckGNN.py:528-566) plus the stack-level skip and
+dropout (:103-106):
+
+    e1  = relu(x_r @ K_er + x_s @ K_es + e @ K_ee + b_e0)
+    e'  = e1 @ W_e1 + b_e1
+    m1  = relu(x_s @ K_px + e' @ K_pe + b_p0)
+    agg = scatter_mean(m1 @ W_p1 + b_p1 over receivers)
+    g1  = relu([x | agg] @ W_g0 + b_g0);  x1 = g1 @ W_g1 + b_g1
+    x'  = x1 + relu(x1 @ W_b0 + b_b0) @ W_b1 + b_b1
+    out = dropout(x' (+ x_in), e' (+ e_in))
+
+Rationale (measured round 3, benchmarks/probe_ea_profile.py): the
+windowed-XLA EA step is HBM-bound — 92% of its 185 ms device time sits in
+~85 separate window fusions over [T, W, 512] / [*, 1536] arrays; every
+MLP boundary round-trips 244-732 MB of edge-window activations through
+HBM. Fusing the whole block touches the edge window once in, once out;
+every intermediate lives in VMEM. Design brief:
+docs/ea_fused_block_design.md.
+
+Geometry (graph/batch.py): edges are receiver-sorted into per-node-tile
+windows of W slots. Senders resolve through ONE selection space — the
+EXTENDED slab: rows [0, slab) are the tile's contiguous x-slab (DMA'd
+like the SAGE kernels' _slab_copy), rows [slab, slab + Ct) are the
+tile's out-of-band ("far") sender rows, pre-gathered in XLA as
+x[win_far_tsend] and fed as a [T, Ct, H] input. win_sidx carries the
+extended code (far slots = slab + rank, pads = FAR_SLOT_SENTINEL), so
+in-band and far senders ride the same [W, slab + Ct] iota-compare
+selection matmul and the far correction never materializes a [T, W, H]
+add in XLA. Receivers are tile-local ([W, tile] selection); the
+scatter-mean is the transposed receiver selection. Selections are built
+in f32 then converted — the i1 relayout does not compile (see
+pallas_sage_layer.SPILL_SCHED notes).
+
+Backward: ONE kernel per tile RECOMPUTES the forward chain from the same
+inputs (storing [T, W, H] residuals is exactly the traffic being
+eliminated), accumulates every weight/bias grad in f32 VMEM across the
+sequential grid, and emits de_win, dfar and the sender dx in two parts:
+the tile-center block plus a [2*width, H] halo of slab-overlap
+contributions (slabs of adjacent tiles overlap by width). The halo folds
+into dx with two shifted pad-adds in XLA (pure elementwise); dfar rides
+the autodiff transpose of the x_far = take(x, tsend) gather outside the
+custom VJP. Dropout masks are regenerated from the per-(layer, tile)
+seed exactly like the fused SAGE kernels — no PRNG output ever touches
+HBM; CPU runs use interpret mode at rate 0 (the in-kernel PRNG needs a
+real TPU).
+
+Scope guards: `supports_fused_ea` — windowed batch with tiled far
+fields, H % 128 == 0, width % 16 == 0, width <= tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
+from buckgnn_tpu.ops.pallas_sage_layer import (
+    DROPOUT_BITS,
+    _keep_mask,
+    _seed_tile,
+    _slab_copy,
+    _StaticDict,
+)
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+_NBUF = 4
+
+# weight-dict key order for the kernels' positional args
+_WKEYS = ("wer", "wee", "wsp", "we1", "wpe", "wp1", "wg0", "wg1", "wb0",
+          "wb1", "bias")
+
+
+def _zero_tangent(v):
+    if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == jnp.bool_:
+        return np.zeros(v.shape, dtypes.float0)
+    return jnp.zeros_like(v)
+
+
+def _sel(codes, k, dtype):
+    """[rows, k] selection: sel[r, j] = (codes[r] == j); codes [rows, 1].
+    Built in f32 then converted (Mosaic can't relayout the i1 mask)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (codes.shape[0], k), 1)
+    return jnp.where(iota == codes, jnp.float32(1),
+                     jnp.float32(0)).astype(dtype)
+
+
+def _loc_of(t, *, tile, width, n_nodes):
+    slab = tile + width
+    start = jnp.clip(t * tile - width // 2, 0, max(n_nodes - slab, 0))
+    return pl.multiple_of(t * tile - start, 8)
+
+
+def _stage_offset(t, *, tile, width, n_nodes):
+    """Offset of the slab inside the [tile + 2*width] virtual window
+    whose row v covers node t*tile - width + v (so v = r + start -
+    (t*tile - width) for slab row r): width for the clamped first tile,
+    width//2 interior, 0 for the clamped last tile."""
+    slab = tile + width
+    start = jnp.clip(t * tile - width // 2, 0, max(n_nodes - slab, 0))
+    return pl.multiple_of(start - t * tile + width, 8)
+
+
+def _colsum(v):
+    return jnp.sum(v, axis=0, keepdims=True)
+
+
+def _recompute(slab_ref, slot, far, e_in, sel_r, sel_s, cnt,
+               wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref,
+               wg0_ref, wg1_ref, wb0_ref, wb1_ref, bias_ref,
+               *, loc, tile, h, cdt):
+    """Forward chain shared by both kernels. Returns every value the
+    backward needs; relu' signs are read off the post-relu values
+    (v > 0 <=> z > 0 exactly)."""
+    f32 = jnp.float32
+    x_tile = slab_ref[slot, pl.ds(loc, tile), :]
+    ext = jnp.concatenate([slab_ref[slot], far], axis=0)  # [slab+Ct, h]
+    p_r = jnp.dot(x_tile, wer_ref[...],
+                  preferred_element_type=f32).astype(cdt)
+    p_sp = jnp.dot(ext, wsp_ref[...],
+                   preferred_element_type=f32).astype(cdt)  # [slab+Ct, 2h]
+    gs = jnp.dot(sel_s, p_sp, preferred_element_type=f32)   # [W, 2h]
+    z_e1 = (
+        jnp.dot(sel_r, p_r, preferred_element_type=f32)
+        + gs[:, :h]
+        + jnp.dot(e_in, wee_ref[...], preferred_element_type=f32)
+        + bias_ref[0:1].astype(f32)
+    )
+    e1 = jnp.maximum(z_e1, 0.0).astype(cdt)
+    e2f = (jnp.dot(e1, we1_ref[...], preferred_element_type=f32)
+           + bias_ref[1:2].astype(f32))
+    e2 = e2f.astype(cdt)
+    z_m1 = (gs[:, h:]
+            + jnp.dot(e2, wpe_ref[...], preferred_element_type=f32)
+            + bias_ref[2:3].astype(f32))
+    m1 = jnp.maximum(z_m1, 0.0).astype(cdt)
+    sm = jax.lax.dot_general(
+        sel_r, m1, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(cdt)                                        # [tile, h]
+    deg = jnp.maximum(cnt, 1.0)                          # [tile, 1] f32
+    aggf = (jnp.dot(sm, wp1_ref[...], preferred_element_type=f32)
+            + cnt * bias_ref[3:4].astype(f32)) / deg
+    agg = aggf.astype(cdt)
+    xa = jnp.concatenate([x_tile, agg], axis=1)          # [tile, 2h]
+    z_g = (jnp.dot(xa, wg0_ref[...], preferred_element_type=f32)
+           + bias_ref[4:5].astype(f32))
+    g1 = jnp.maximum(z_g, 0.0).astype(cdt)
+    x1f = (jnp.dot(g1, wg1_ref[...], preferred_element_type=f32)
+           + bias_ref[5:6].astype(f32))
+    x1 = x1f.astype(cdt)
+    z_b = (jnp.dot(x1, wb0_ref[...], preferred_element_type=f32)
+           + bias_ref[6:7].astype(f32))
+    b1 = jnp.maximum(z_b, 0.0).astype(cdt)
+    x2 = x1f + jnp.dot(b1, wb1_ref[...], preferred_element_type=f32) \
+        + bias_ref[7:8].astype(f32)
+    return dict(x_tile=x_tile, ext=ext, e1=e1, e2f=e2f, e2=e2, m1=m1,
+                sm=sm, deg=deg, agg=agg, xa=xa, g1=g1, x1f=x1f, x1=x1,
+                b1=b1, x2=x2)
+
+
+# --------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------- #
+
+
+def _fwd_kernel(
+    seed_ref,
+    e_ref, sidx_ref, ridx_ref, far_ref, cnt_ref,
+    wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
+    wg1_ref, wb0_ref, wb1_ref, bias_ref,
+    x_hbm,
+    zx_ref, ze_ref,
+    slab_ref, sem,
+    *, tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
+    skip, thr, scale,
+):
+    t = pl.program_id(0)
+    copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
+                             tile=tile, width=width, n_nodes=n_nodes)
+    nbuf = slab_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        for j in range(min(nbuf, n_tiles)):
+            copy(j, slot=j % nbuf).start()
+
+    @pl.when((t > 0) & (t + nbuf - 1 < n_tiles))
+    def _():
+        i = t + nbuf - 1
+        copy(i, slot=jax.lax.rem(i, nbuf)).start()
+
+    slot = jax.lax.rem(t, nbuf)
+    copy(t, slot=slot).wait()
+    cdt = x_dtype
+    loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
+    sel_r = _sel(ridx_ref[0], tile, cdt)
+    sel_s = _sel(sidx_ref[0], tile + width + ct, cdt)
+    r = _recompute(
+        slab_ref, slot, far_ref[0], e_ref[0], sel_r, sel_s, cnt_ref[0],
+        wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
+        wg1_ref, wb0_ref, wb1_ref, bias_ref,
+        loc=loc, tile=tile, h=h, cdt=cdt,
+    )
+    x_out, e_out = r["x2"], r["e2f"]
+    if skip:
+        x_out = x_out + r["x_tile"].astype(jnp.float32)
+        e_out = e_out + e_ref[0].astype(jnp.float32)
+    if thr is not None:
+        _seed_tile(seed_ref, t)
+        keep_e = _keep_mask(e_out.shape, thr)
+        e_out = jnp.where(keep_e, e_out * jnp.float32(scale),
+                          jnp.float32(0.0))
+        keep_x = _keep_mask(x_out.shape, thr)
+        x_out = jnp.where(keep_x, x_out * jnp.float32(scale),
+                          jnp.float32(0.0))
+    zx_ref[...] = x_out.astype(cdt)
+    ze_ref[0] = e_out.astype(cdt)
+
+
+def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static):
+    s = static
+    tile, width, h = s["tile"], s["width"], s["h"]
+    n, n_tiles = s["n_nodes"], s["n_tiles"]
+    w_cap, ct = s["w_cap"], s["ct"]
+    kern = functools.partial(
+        _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
+        w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
+        thr=s["thr"], scale=s["scale"],
+    )
+    full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
+                                    memory_space=pltpu.VMEM)
+    blk_e = pl.BlockSpec((1, w_cap, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_i = pl.BlockSpec((1, w_cap, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nbuf = min(_NBUF, max(n_tiles, 2))
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            blk_e, blk_i, blk_i,
+            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # far
+            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # cnt
+            full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
+            full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
+            full((h, h)), full((h, h)), full((8, h)),
+            pl.BlockSpec(memory_space=pl.ANY),          # x
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, h), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            blk_e,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), x.dtype),
+            jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, tile + width, h), x.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        interpret=s["interpret"],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, e_win, sidx, ridx, x_far, cnt, *[wd[k] for k in _WKEYS], x)
+
+
+# --------------------------------------------------------------------- #
+# backward
+# --------------------------------------------------------------------- #
+
+
+def _bwd_kernel(
+    seed_ref,
+    dzx_ref, dze_ref,
+    e_ref, sidx_ref, ridx_ref, far_ref, cnt_ref,
+    wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
+    wg1_ref, wb0_ref, wb1_ref, bias_ref,
+    x_hbm,
+    dx_ref, dhalo_ref, deo_ref, dfar_ref,
+    dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref, dwp1_ref,
+    dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref, dbias_ref,
+    slab_ref, sem, stage_ref,
+    *, tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
+    skip, thr, scale,
+):
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
+                             tile=tile, width=width, n_nodes=n_nodes)
+    nbuf = slab_ref.shape[0]
+    slab = tile + width
+
+    @pl.when(t == 0)
+    def _():
+        for j in range(min(nbuf, n_tiles)):
+            copy(j, slot=j % nbuf).start()
+
+    @pl.when((t > 0) & (t + nbuf - 1 < n_tiles))
+    def _():
+        i = t + nbuf - 1
+        copy(i, slot=jax.lax.rem(i, nbuf)).start()
+
+    slot = jax.lax.rem(t, nbuf)
+    copy(t, slot=slot).wait()
+    cdt = x_dtype
+    loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
+    sel_r = _sel(ridx_ref[0], tile, cdt)
+    sel_s = _sel(sidx_ref[0], slab + ct, cdt)
+    e_in = e_ref[0]
+    cnt = cnt_ref[0]
+    r = _recompute(
+        slab_ref, slot, far_ref[0], e_in, sel_r, sel_s, cnt,
+        wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
+        wg1_ref, wb0_ref, wb1_ref, bias_ref,
+        loc=loc, tile=tile, h=h, cdt=cdt,
+    )
+
+    dzx = dzx_ref[...].astype(f32)
+    dze = dze_ref[0].astype(f32)
+    if thr is not None:
+        # regenerate the EXACT forward masks: same seed, same draw order
+        # (e first, then x)
+        _seed_tile(seed_ref, t)
+        keep_e = _keep_mask(dze.shape, thr)
+        dze = jnp.where(keep_e, dze * jnp.float32(scale), jnp.float32(0.0))
+        keep_x = _keep_mask(dzx.shape, thr)
+        dzx = jnp.where(keep_x, dzx * jnp.float32(scale), jnp.float32(0.0))
+
+    # relu' masks: compare in f32 — Mosaic has no bf16 vector compare
+    # ("Target does not support this comparison"); v > 0 <=> z > 0
+    m_b1 = r["b1"].astype(f32) > 0.0
+    m_g1 = r["g1"].astype(f32) > 0.0
+    m_m1 = r["m1"].astype(f32) > 0.0
+    m_e1 = r["e1"].astype(f32) > 0.0
+
+    # ---- beta ----
+    dx2 = dzx
+    dx2_c = dx2.astype(cdt)
+    db1 = jax.lax.dot_general(dx2_c, wb1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dzb = jnp.where(m_b1, db1, 0.0).astype(cdt)
+    dx1 = dx2 + jax.lax.dot_general(
+        dzb, wb0_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    dx1_c = dx1.astype(cdt)
+    # ---- gamma ----
+    dg1 = jax.lax.dot_general(dx1_c, wg1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dzg = jnp.where(m_g1, dg1, 0.0).astype(cdt)
+    dxa = jax.lax.dot_general(dzg, wg0_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)  # [tile, 2h]
+    dxt = dxa[:, :h]
+    dagg = dxa[:, h:]
+    # ---- scatter-mean + phi lin1 ----
+    dagg_d = dagg / r["deg"]
+    dagg_c = dagg_d.astype(cdt)
+    dsm = jax.lax.dot_general(dagg_c, wp1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32).astype(cdt)
+    dm1 = jnp.dot(sel_r, dsm, preferred_element_type=f32)
+    dzm = jnp.where(m_m1, dm1, 0.0).astype(cdt)
+    de2 = dze + jax.lax.dot_general(
+        dzm, wpe_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    de2_c = de2.astype(cdt)
+    # ---- edge MLP ----
+    de1f = jax.lax.dot_general(de2_c, we1_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+    de1 = jnp.where(m_e1, de1f, 0.0).astype(cdt)
+    deo = jax.lax.dot_general(de1, wee_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    if skip:
+        deo = deo + dze
+    deo_ref[0] = deo.astype(cdt)
+    r_de1 = jax.lax.dot_general(
+        sel_r, de1, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(cdt)              # [tile, h]
+    dxt = dxt + jax.lax.dot_general(
+        r_de1, wer_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+    # ---- sender space (slab + far), one transposed selection ----
+    both = jnp.concatenate([de1, dzm], axis=1)               # [W, 2h]
+    s_both = jax.lax.dot_general(
+        sel_s, both, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(cdt)              # [slab+Ct, 2h]
+    d_ext = jax.lax.dot_general(
+        s_both, wsp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                          # [slab+Ct, h]
+    dfar_ref[0] = d_ext[slab:].astype(cdt)
+    # center + halo: write the slab part into the virtual [tile+2w] window
+    # whose row v covers node t*tile - width + v (see _stage_offset)
+    off = _stage_offset(t, tile=tile, width=width, n_nodes=n_nodes)
+    stage_ref[pl.ds(0, width), :] = jnp.zeros((width, h), f32)
+    stage_ref[pl.ds(tile + width, width), :] = jnp.zeros((width, h), f32)
+    stage_ref[pl.ds(off, slab), :] = d_ext[:slab]
+    dx_total = dxt + stage_ref[pl.ds(width, tile), :]
+    if skip:
+        dx_total = dx_total + dzx
+    dx_ref[...] = dx_total.astype(cdt)
+    dhalo_ref[0, pl.ds(0, width), :] = stage_ref[
+        pl.ds(0, width), :].astype(cdt)
+    dhalo_ref[0, pl.ds(width, width), :] = stage_ref[
+        pl.ds(tile + width, width), :].astype(cdt)
+
+    # ---- weight/bias grads (f32 accumulation across the grid) ----
+    dwb1_t = jax.lax.dot_general(r["b1"], dx2_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwb0_t = jax.lax.dot_general(r["x1"], dzb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwg1_t = jax.lax.dot_general(r["g1"], dx1_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwg0_t = jax.lax.dot_general(r["xa"], dzg, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwp1_t = jax.lax.dot_general(r["sm"], dagg_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwpe_t = jax.lax.dot_general(r["e2"], dzm, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwe1_t = jax.lax.dot_general(r["e1"], de2_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwee_t = jax.lax.dot_general(e_in, de1, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwer_t = jax.lax.dot_general(r["x_tile"], r_de1,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dwsp_t = jax.lax.dot_general(r["ext"], s_both, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dbias_t = jnp.concatenate([
+        _colsum(jnp.where(m_e1, de1f, 0.0)),  # b_e0 (de1 pre-cast)
+        _colsum(de2),                         # b_e1
+        _colsum(jnp.where(m_m1, dm1, 0.0)),   # b_p0 (dzm pre-cast)
+        _colsum(cnt * dagg_d),                # b_p1
+        _colsum(jnp.where(m_g1, dg1, 0.0)),   # b_g0
+        _colsum(dx1),                         # b_g1
+        _colsum(jnp.where(m_b1, db1, 0.0)),   # b_b0
+        _colsum(dx2),                         # b_b1
+    ], axis=0)
+
+    @pl.when(t == 0)
+    def _():
+        dwer_ref[...] = dwer_t
+        dwee_ref[...] = dwee_t
+        dwsp_ref[...] = dwsp_t
+        dwe1_ref[...] = dwe1_t
+        dwpe_ref[...] = dwpe_t
+        dwp1_ref[...] = dwp1_t
+        dwg0_ref[...] = dwg0_t
+        dwg1_ref[...] = dwg1_t
+        dwb0_ref[...] = dwb0_t
+        dwb1_ref[...] = dwb1_t
+        dbias_ref[...] = dbias_t
+
+    @pl.when(t > 0)
+    def _():
+        dwer_ref[...] += dwer_t
+        dwee_ref[...] += dwee_t
+        dwsp_ref[...] += dwsp_t
+        dwe1_ref[...] += dwe1_t
+        dwpe_ref[...] += dwpe_t
+        dwp1_ref[...] += dwp1_t
+        dwg0_ref[...] += dwg0_t
+        dwg1_ref[...] += dwg1_t
+        dwb0_ref[...] += dwb0_t
+        dwb1_ref[...] += dwb1_t
+        dbias_ref[...] += dbias_t
+
+
+def _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed, *,
+              static):
+    s = static
+    tile, width, h = s["tile"], s["width"], s["h"]
+    n, n_tiles = s["n_nodes"], s["n_tiles"]
+    w_cap, ct = s["w_cap"], s["ct"]
+    kern = functools.partial(
+        _bwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
+        w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
+        thr=s["thr"], scale=s["scale"],
+    )
+    full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
+                                    memory_space=pltpu.VMEM)
+    blk_e = pl.BlockSpec((1, w_cap, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blk_i = pl.BlockSpec((1, w_cap, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    nbuf = min(_NBUF, max(n_tiles, 2))
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec((tile, h), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),      # dzx
+            blk_e,                                      # dze
+            blk_e, blk_i, blk_i,
+            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # far
+            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # cnt
+            full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
+            full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
+            full((h, h)), full((h, h)), full((8, h)),
+            pl.BlockSpec(memory_space=pl.ANY),          # x
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, h), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),      # dx center
+            pl.BlockSpec((1, 2 * width, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # dhalo
+            blk_e,                                      # de_win
+            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # dfar
+            full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
+            full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
+            full((h, h)), full((h, h)), full((8, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), x.dtype),
+            jax.ShapeDtypeStruct((n_tiles, 2 * width, h), x.dtype),
+            jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype),
+            jax.ShapeDtypeStruct((n_tiles, ct, h), x.dtype),
+            jax.ShapeDtypeStruct((h, h), f32),          # dwer
+            jax.ShapeDtypeStruct((h, h), f32),          # dwee
+            jax.ShapeDtypeStruct((h, 2 * h), f32),      # dwsp
+            jax.ShapeDtypeStruct((h, h), f32),          # dwe1
+            jax.ShapeDtypeStruct((h, h), f32),          # dwpe
+            jax.ShapeDtypeStruct((h, h), f32),          # dwp1
+            jax.ShapeDtypeStruct((2 * h, h), f32),      # dwg0
+            jax.ShapeDtypeStruct((h, h), f32),          # dwg1
+            jax.ShapeDtypeStruct((h, h), f32),          # dwb0
+            jax.ShapeDtypeStruct((h, h), f32),          # dwb1
+            jax.ShapeDtypeStruct((8, h), f32),          # dbias
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, tile + width, h), x.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((tile + 2 * width, h), f32),     # halo staging
+        ],
+        interpret=s["interpret"],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(seed, dzx, dze, e_win, sidx, ridx, x_far, cnt,
+      *[wd[k] for k in _WKEYS], x)
+
+
+# --------------------------------------------------------------------- #
+# custom VJP + public API
+# --------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
+    return tuple(_call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed,
+                           static=static))
+
+
+def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
+    out = _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed)
+    return out, (x, e_win, x_far, wd, sidx, ridx, cnt, seed)
+
+
+def _fused_block_bwd(static, res, cts):
+    x, e_win, x_far, wd, sidx, ridx, cnt, seed = res
+    dzx, dze = cts
+    outs = _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed,
+                     static=static)
+    (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
+     dwg1, dwb0, dwb1, dbias) = outs
+    tile, width = static["tile"], static["width"]
+    n, h = x.shape
+    # fold the slab-overlap halos: dhalo[t, :width] covers nodes
+    # [t*tile - width, t*tile), dhalo[t, width:] covers
+    # [(t+1)*tile, (t+1)*tile + width) — two shifted pad-adds, all
+    # elementwise (boundary tiles wrote zeros in out-of-range rows)
+    dxf = dx.astype(jnp.float32)
+    left = dhalo[:, :width].astype(jnp.float32)
+    right = dhalo[:, width:].astype(jnp.float32)
+    lp = jnp.pad(left, ((0, 0), (tile - width, 0), (0, 0))).reshape(n, h)
+    dxf = dxf + jnp.concatenate(
+        [lp[tile:], jnp.zeros((tile, h), jnp.float32)], axis=0)
+    rp = jnp.pad(right, ((0, 0), (0, tile - width), (0, 0))).reshape(n, h)
+    dxf = dxf + jnp.concatenate(
+        [jnp.zeros((tile, h), jnp.float32), rp[:-tile]], axis=0)
+    dwd = dict(
+        wer=dwer.astype(wd["wer"].dtype),
+        wee=dwee.astype(wd["wee"].dtype),
+        wsp=dwsp.astype(wd["wsp"].dtype),
+        we1=dwe1.astype(wd["we1"].dtype),
+        wpe=dwpe.astype(wd["wpe"].dtype),
+        wp1=dwp1.astype(wd["wp1"].dtype),
+        wg0=dwg0.astype(wd["wg0"].dtype),
+        wg1=dwg1.astype(wd["wg1"].dtype),
+        wb0=dwb0.astype(wd["wb0"].dtype),
+        wb1=dwb1.astype(wd["wb1"].dtype),
+        bias=dbias.astype(wd["bias"].dtype),
+    )
+    return (dxf.astype(x.dtype), deo, dfar, dwd, _zero_tangent(sidx),
+            _zero_tangent(ridx), jnp.zeros_like(cnt), _zero_tangent(seed))
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def supports_fused_ea(batch, h: int) -> bool:
+    """Static eligibility of the fused EA block for this batch/width."""
+    return (
+        batch.win_edges is not None
+        and getattr(batch, "win_far_tsend", None) is not None
+        and batch.band_tile is not None
+        and h % 128 == 0
+        and batch.band_width % 16 == 0
+        and batch.band_width <= batch.band_tile
+        and batch.n_node_cap % batch.band_tile == 0
+    )
+
+
+def fused_ea_block(
+    x: jnp.ndarray,
+    e_win: jnp.ndarray,
+    params,
+    batch,
+    *,
+    skip: bool,
+    rate: float,
+    seed: jnp.ndarray | None,
+    deterministic: bool,
+):
+    """One full GraphNetBlock + skip + dropout. ``params`` is the flax
+    param subtree of a GraphNetBlock (edge_mlp / node_mlp_phi /
+    node_mlp_gamma / node_mlp_beta); weight-dict construction and the
+    x_far gather live OUTSIDE the custom VJP, so their transposes
+    (slice/concat adjoints, the far scatter-add) ride plain autodiff.
+    Requires ``supports_fused_ea(batch, h)``."""
+    n, h = x.shape
+    tile, width = batch.band_tile, batch.band_width
+    n_tiles = n // tile
+    w_cap = e_win.shape[1]
+    ct = batch.win_far_tsend.shape[1]
+    cdt = x.dtype
+
+    k_e0 = params["edge_mlp"]["lin_0"]["kernel"].astype(cdt)
+    k_p0 = params["node_mlp_phi"]["lin_0"]["kernel"].astype(cdt)
+    k_g0 = params["node_mlp_gamma"]["lin_0"]["kernel"].astype(cdt)
+    wd = dict(
+        wer=k_e0[:h],
+        wee=k_e0[2 * h:],
+        wsp=jnp.concatenate([k_e0[h:2 * h], k_p0[:h]], axis=1),
+        we1=params["edge_mlp"]["lin_1"]["kernel"].astype(cdt),
+        wpe=k_p0[h:],
+        wp1=params["node_mlp_phi"]["lin_1"]["kernel"].astype(cdt),
+        wg0=k_g0,
+        wg1=params["node_mlp_gamma"]["lin_1"]["kernel"].astype(cdt),
+        wb0=params["node_mlp_beta"]["lin_0"]["kernel"].astype(cdt),
+        wb1=params["node_mlp_beta"]["lin_1"]["kernel"].astype(cdt),
+        bias=jnp.stack([
+            params["edge_mlp"]["lin_0"]["bias"],
+            params["edge_mlp"]["lin_1"]["bias"],
+            params["node_mlp_phi"]["lin_0"]["bias"],
+            params["node_mlp_phi"]["lin_1"]["bias"],
+            params["node_mlp_gamma"]["lin_0"]["bias"],
+            params["node_mlp_gamma"]["lin_1"]["bias"],
+            params["node_mlp_beta"]["lin_0"]["bias"],
+            params["node_mlp_beta"]["lin_1"]["bias"],
+        ], axis=0).astype(jnp.float32),
+    )
+    sidx = batch.win_sidx.reshape(n_tiles, w_cap, 1)
+    ridx = batch.win_ridx.reshape(n_tiles, w_cap, 1)
+    cnt = (batch.row_offsets[1:] - batch.row_offsets[:-1]).astype(
+        jnp.float32).reshape(n_tiles, tile, 1)
+    x_far = jnp.take(x, batch.win_far_tsend.reshape(-1),
+                     axis=0).reshape(n_tiles, ct, h)
+    training = not deterministic
+    active = training and rate > 0.0
+    thr = dropout_threshold(rate, DROPOUT_BITS) if active else None
+    scale = dropout_scale(rate, DROPOUT_BITS) if thr is not None else None
+    static = _StaticDict(tuple(sorted(dict(
+        tile=tile, width=width, h=h, n_nodes=n, n_tiles=n_tiles,
+        w_cap=w_cap, ct=ct, skip=bool(skip), thr=thr, scale=scale,
+        interpret=jax.default_backend() == "cpu",
+    ).items())))
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+    zx, ze = _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt,
+                          seed)
+    return zx, ze

@@ -318,7 +318,7 @@ def train_gnn(
     # star-window fallback is sticky the same way: once any repack's
     # tiles span too many graphs (gwin stripped -> global star tables),
     # later packs are forced global too so the treedef never flips back.
-    win_floors = {"w": 0, "f": 0, "s": 0, "s2": 0, "b": 0,
+    win_floors = {"w": 0, "f": 0, "ft": 0, "s": 0, "s2": 0, "b": 0,
                   "local_star": True}
 
     def pack(data, shuffle, seed):
@@ -327,6 +327,7 @@ def train_gnn(
                            shuffle=shuffle, seed=seed,
                            min_win_cap=win_floors["w"],
                            min_far_cap=win_floors["f"],
+                           min_far_tile_cap=win_floors["ft"],
                            min_spill_cap=win_floors["s"],
                            min_spill2_cap=win_floors["s2"],
                            min_band_cap=win_floors["b"],
@@ -338,6 +339,8 @@ def train_gnn(
                                   batches[0].win_edges.shape[1])
             win_floors["f"] = max(win_floors["f"],
                                   batches[0].win_far_pos.shape[0])
+            win_floors["ft"] = max(win_floors["ft"],
+                                   batches[0].win_far_tsend.shape[1])
         if batches and batches[0].spill_senders is not None:
             win_floors["s"] = max(win_floors["s"],
                                   int(batches[0].spill_senders.shape[0]))
