@@ -9,6 +9,14 @@ architectures at h=64/L=3; this one fixes the exact flagship shape.
 
 Usage: timeout 5400 python benchmarks/accuracy_flagship.py \
           [--graphs 512] [--epochs 120] [--seeds 0 1]
+
+``--pinned`` (VERDICT r3 #5) freezes the ROUND-OVER-ROUND convergence
+gate: generator seed 100 + sides 16-24 + 512 graphs + split seed 0 +
+120 epochs + batch 128 + seeds 0 1 2 — exactly the spec of the round-3
+entries (14.54/15.54/13.99% best val MAPE), overriding every other
+flag. Run it each round after kernel changes and append the PINNED line
+to the tracked table in RESULTS.md; a regression beyond the ~1.6pp seed
+spread flags a convergence bug.
 """
 
 import argparse
@@ -20,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+PINNED = dict(graphs=512, epochs=120, seeds=[0, 1, 2])
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -27,7 +37,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=120)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
     ap.add_argument("--outdir", default="/tmp/acc_flagship")
+    ap.add_argument("--pinned", action="store_true",
+                    help="frozen round-over-round spec (overrides flags)")
     args = ap.parse_args()
+    if args.pinned:
+        args.graphs, args.epochs = PINNED["graphs"], PINNED["epochs"]
+        args.seeds = PINNED["seeds"]
 
     from buckgnn_tpu.config import TrainConfig
     from buckgnn_tpu.graph.normalizer import normalize_dataset
@@ -66,10 +81,14 @@ def main():
               flush=True)
 
     r = np.asarray(results)
-    print(f"FLAGSHIP 6L h512 supernode, {len(r)} seeds: "
+    tag = "PINNED " if args.pinned else ""
+    print(f"{tag}FLAGSHIP 6L h512 supernode, {len(r)} seeds: "
           f"best val MAPE mean {r.mean():.3f}%  min {r.min():.3f}%  "
           f"max {r.max():.3f}%  spread {r.max() - r.min():.3f}pp",
           flush=True)
+    if args.pinned:
+        print("PINNED-ROW | " + " | ".join(f"{v:.2f}%" for v in r)
+              + f" | mean {r.mean():.2f}%", flush=True)
 
 
 if __name__ == "__main__":

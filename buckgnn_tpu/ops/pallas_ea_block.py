@@ -74,6 +74,23 @@ from buckgnn_tpu.ops.pallas_sage_layer import (
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 _NBUF = 4
+# tiles per grid step. Unroll 2 measured NEGATIVE on the v5e
+# (benchmarks/probe_ea_tile.py, 2026-08-21): tile-128 flagship step
+# 136.8 -> 162.2 ms/step fwd+bwd unrolled (tile-256 was a wash,
+# 162.0 -> 159.3) — the doubled body blows past the schedulable live-set
+# and Mosaic spills, unlike the SAGE kernels whose per-tile chains are
+# far shorter. Machinery kept for re-testing on other shapes.
+_UNROLL_FWD = 1
+_UNROLL_BWD = 1
+
+
+def _pick_unroll(n_tiles: int, top: int) -> int:
+    u = top
+    while u > 1:
+        if n_tiles % u == 0 and n_tiles > u:
+            return u
+        u //= 2
+    return 1
 
 # weight-dict key order for the kernels' positional args
 _WKEYS = ("wer", "wee", "wsp", "we1", "wpe", "wp1", "wg0", "wg1", "wb0",
@@ -117,32 +134,42 @@ def _colsum(v):
 def _recompute(slab_ref, slot, far, e_in, sel_r, sel_s, cnt,
                wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref,
                wg0_ref, wg1_ref, wb0_ref, wb1_ref, bias_ref,
-               *, loc, tile, h, cdt):
+               *, loc, tile, h, cdt, res=None):
     """Forward chain shared by both kernels. Returns every value the
     backward needs; relu' signs are read off the post-relu values
-    (v > 0 <=> z > 0 exactly)."""
+    (v > 0 <=> z > 0 exactly). ``res=(e1, m1)`` skips the edge-MLP
+    front end (projections + selections + z_e1/z_m1) — the backward
+    reads those two [W, h] activations as residuals the forward stored
+    (recomputing them cost ~20% of the backward's flops; storing costs
+    one extra window round trip that the DMA pipeline hides)."""
     f32 = jnp.float32
     x_tile = slab_ref[slot, pl.ds(loc, tile), :]
     ext = jnp.concatenate([slab_ref[slot], far], axis=0)  # [slab+Ct, h]
-    p_r = jnp.dot(x_tile, wer_ref[...],
-                  preferred_element_type=f32).astype(cdt)
-    p_sp = jnp.dot(ext, wsp_ref[...],
-                   preferred_element_type=f32).astype(cdt)  # [slab+Ct, 2h]
-    gs = jnp.dot(sel_s, p_sp, preferred_element_type=f32)   # [W, 2h]
-    z_e1 = (
-        jnp.dot(sel_r, p_r, preferred_element_type=f32)
-        + gs[:, :h]
-        + jnp.dot(e_in, wee_ref[...], preferred_element_type=f32)
-        + bias_ref[0:1].astype(f32)
-    )
-    e1 = jnp.maximum(z_e1, 0.0).astype(cdt)
+    if res is None:
+        p_r = jnp.dot(x_tile, wer_ref[...],
+                      preferred_element_type=f32).astype(cdt)
+        p_sp = jnp.dot(ext, wsp_ref[...],
+                       preferred_element_type=f32).astype(cdt)
+        gs = jnp.dot(sel_s, p_sp, preferred_element_type=f32)  # [W, 2h]
+        z_e1 = (
+            jnp.dot(sel_r, p_r, preferred_element_type=f32)
+            + gs[:, :h]
+            + jnp.dot(e_in, wee_ref[...], preferred_element_type=f32)
+            + bias_ref[0:1].astype(f32)
+        )
+        e1 = jnp.maximum(z_e1, 0.0).astype(cdt)
+    else:
+        e1 = res[0]
     e2f = (jnp.dot(e1, we1_ref[...], preferred_element_type=f32)
            + bias_ref[1:2].astype(f32))
     e2 = e2f.astype(cdt)
-    z_m1 = (gs[:, h:]
-            + jnp.dot(e2, wpe_ref[...], preferred_element_type=f32)
-            + bias_ref[2:3].astype(f32))
-    m1 = jnp.maximum(z_m1, 0.0).astype(cdt)
+    if res is None:
+        z_m1 = (gs[:, h:]
+                + jnp.dot(e2, wpe_ref[...], preferred_element_type=f32)
+                + bias_ref[2:3].astype(f32))
+        m1 = jnp.maximum(z_m1, 0.0).astype(cdt)
+    else:
+        m1 = res[1]
     sm = jax.lax.dot_general(
         sel_r, m1, (((0,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -179,80 +206,97 @@ def _fwd_kernel(
     wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
     wg1_ref, wb0_ref, wb1_ref, bias_ref,
     x_hbm,
-    zx_ref, ze_ref,
-    slab_ref, sem,
-    *, tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
-    skip, thr, scale,
+    *outs,
+    tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
+    skip, thr, scale, unroll, save_res,
 ):
-    t = pl.program_id(0)
+    outs = list(outs)
+    if save_res:
+        zx_ref, ze_ref, e1s_ref, m1s_ref, slab_ref, sem = outs
+    else:
+        zx_ref, ze_ref, slab_ref, sem = outs
+    p = pl.program_id(0)
+    base = p * unroll
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
                              tile=tile, width=width, n_nodes=n_nodes)
     nbuf = slab_ref.shape[0]
 
-    @pl.when(t == 0)
+    @pl.when(p == 0)
     def _():
         for j in range(min(nbuf, n_tiles)):
             copy(j, slot=j % nbuf).start()
 
-    @pl.when((t > 0) & (t + nbuf - 1 < n_tiles))
+    @pl.when(p > 0)
     def _():
-        i = t + nbuf - 1
-        copy(i, slot=jax.lax.rem(i, nbuf)).start()
+        for j in range(unroll):
+            i = base + (nbuf - unroll) + j
 
-    slot = jax.lax.rem(t, nbuf)
-    copy(t, slot=slot).wait()
+            @pl.when(i < n_tiles)
+            def _():
+                copy(i, slot=jax.lax.rem(i, nbuf)).start()
+
     cdt = x_dtype
-    loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
-    sel_r = _sel(ridx_ref[0], tile, cdt)
-    sel_s = _sel(sidx_ref[0], tile + width + ct, cdt)
-    r = _recompute(
-        slab_ref, slot, far_ref[0], e_ref[0], sel_r, sel_s, cnt_ref[0],
-        wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
-        wg1_ref, wb0_ref, wb1_ref, bias_ref,
-        loc=loc, tile=tile, h=h, cdt=cdt,
-    )
-    x_out, e_out = r["x2"], r["e2f"]
-    if skip:
-        x_out = x_out + r["x_tile"].astype(jnp.float32)
-        e_out = e_out + e_ref[0].astype(jnp.float32)
-    if thr is not None:
-        _seed_tile(seed_ref, t)
-        keep_e = _keep_mask(e_out.shape, thr)
-        e_out = jnp.where(keep_e, e_out * jnp.float32(scale),
-                          jnp.float32(0.0))
-        keep_x = _keep_mask(x_out.shape, thr)
-        x_out = jnp.where(keep_x, x_out * jnp.float32(scale),
-                          jnp.float32(0.0))
-    zx_ref[...] = x_out.astype(cdt)
-    ze_ref[0] = e_out.astype(cdt)
+    for sub in range(unroll):
+        t = base + sub
+        slot = jax.lax.rem(t, nbuf)
+        copy(t, slot=slot).wait()
+        loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
+        sel_r = _sel(ridx_ref[sub], tile, cdt)
+        sel_s = _sel(sidx_ref[sub], tile + width + ct, cdt)
+        r = _recompute(
+            slab_ref, slot, far_ref[sub], e_ref[sub], sel_r, sel_s,
+            cnt_ref[sub],
+            wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
+            wg1_ref, wb0_ref, wb1_ref, bias_ref,
+            loc=loc, tile=tile, h=h, cdt=cdt,
+        )
+        x_out, e_out = r["x2"], r["e2f"]
+        if skip:
+            x_out = x_out + r["x_tile"].astype(jnp.float32)
+            e_out = e_out + e_ref[sub].astype(jnp.float32)
+        if thr is not None:
+            _seed_tile(seed_ref, t)
+            keep_e = _keep_mask(e_out.shape, thr)
+            e_out = jnp.where(keep_e, e_out * jnp.float32(scale),
+                              jnp.float32(0.0))
+            keep_x = _keep_mask(x_out.shape, thr)
+            x_out = jnp.where(keep_x, x_out * jnp.float32(scale),
+                              jnp.float32(0.0))
+        zx_ref[pl.ds(sub * tile, tile), :] = x_out.astype(cdt)
+        ze_ref[sub] = e_out.astype(cdt)
+        if save_res:
+            e1s_ref[sub] = r["e1"]
+            m1s_ref[sub] = r["m1"]
 
 
-def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static):
+def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static,
+              save_res=False):
     s = static
     tile, width, h = s["tile"], s["width"], s["h"]
     n, n_tiles = s["n_nodes"], s["n_tiles"]
     w_cap, ct = s["w_cap"], s["ct"]
+    unroll = _pick_unroll(n_tiles, _UNROLL_FWD)
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
-        thr=s["thr"], scale=s["scale"],
+        thr=s["thr"], scale=s["scale"], unroll=unroll, save_res=save_res,
     )
     full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
                                     memory_space=pltpu.VMEM)
-    blk_e = pl.BlockSpec((1, w_cap, h), lambda t: (t, 0, 0),
+    blk_e = pl.BlockSpec((unroll, w_cap, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_i = pl.BlockSpec((1, w_cap, 1), lambda t: (t, 0, 0),
+    blk_i = pl.BlockSpec((unroll, w_cap, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-    nbuf = min(_NBUF, max(n_tiles, 2))
+    nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
     return pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_tiles // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             blk_e, blk_i, blk_i,
-            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # far
-            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # cnt
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
@@ -260,14 +304,15 @@ def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static):
             pl.BlockSpec(memory_space=pl.ANY),          # x
         ],
         out_specs=[
-            pl.BlockSpec((tile, h), lambda t: (t, 0),
+            pl.BlockSpec((unroll * tile, h), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             blk_e,
-        ],
+        ] + ([blk_e, blk_e] if save_res else []),
         out_shape=[
             jax.ShapeDtypeStruct((n, h), x.dtype),
             jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype),
-        ],
+        ] + ([jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype)] * 2
+             if save_res else []),
         scratch_shapes=[
             pltpu.VMEM((nbuf, tile + width, h), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -284,7 +329,7 @@ def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static):
 
 def _bwd_kernel(
     seed_ref,
-    dzx_ref, dze_ref,
+    dzx_ref, dze_ref, e1s_ref, m1s_ref,
     e_ref, sidx_ref, ridx_ref, far_ref, cnt_ref,
     wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
     wg1_ref, wb0_ref, wb1_ref, bias_ref,
@@ -294,175 +339,193 @@ def _bwd_kernel(
     dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref, dbias_ref,
     slab_ref, sem, stage_ref,
     *, tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
-    skip, thr, scale,
+    skip, thr, scale, unroll,
 ):
     f32 = jnp.float32
-    t = pl.program_id(0)
+    p = pl.program_id(0)
+    base = p * unroll
     copy = functools.partial(_slab_copy, x_hbm, slab_ref, sem,
                              tile=tile, width=width, n_nodes=n_nodes)
     nbuf = slab_ref.shape[0]
     slab = tile + width
 
-    @pl.when(t == 0)
+    @pl.when(p == 0)
     def _():
         for j in range(min(nbuf, n_tiles)):
             copy(j, slot=j % nbuf).start()
 
-    @pl.when((t > 0) & (t + nbuf - 1 < n_tiles))
+    @pl.when(p > 0)
     def _():
-        i = t + nbuf - 1
-        copy(i, slot=jax.lax.rem(i, nbuf)).start()
+        for j in range(unroll):
+            i = base + (nbuf - unroll) + j
 
-    slot = jax.lax.rem(t, nbuf)
-    copy(t, slot=slot).wait()
+            @pl.when(i < n_tiles)
+            def _():
+                copy(i, slot=jax.lax.rem(i, nbuf)).start()
+
     cdt = x_dtype
-    loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
-    sel_r = _sel(ridx_ref[0], tile, cdt)
-    sel_s = _sel(sidx_ref[0], slab + ct, cdt)
-    e_in = e_ref[0]
-    cnt = cnt_ref[0]
-    r = _recompute(
-        slab_ref, slot, far_ref[0], e_in, sel_r, sel_s, cnt,
-        wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
-        wg1_ref, wb0_ref, wb1_ref, bias_ref,
-        loc=loc, tile=tile, h=h, cdt=cdt,
-    )
 
-    dzx = dzx_ref[...].astype(f32)
-    dze = dze_ref[0].astype(f32)
-    if thr is not None:
-        # regenerate the EXACT forward masks: same seed, same draw order
-        # (e first, then x)
-        _seed_tile(seed_ref, t)
-        keep_e = _keep_mask(dze.shape, thr)
-        dze = jnp.where(keep_e, dze * jnp.float32(scale), jnp.float32(0.0))
-        keep_x = _keep_mask(dzx.shape, thr)
-        dzx = jnp.where(keep_x, dzx * jnp.float32(scale), jnp.float32(0.0))
+    def tile_body(sub):
+        t = base + sub
+        slot = jax.lax.rem(t, nbuf)
+        copy(t, slot=slot).wait()
+        loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
+        sel_r = _sel(ridx_ref[sub], tile, cdt)
+        sel_s = _sel(sidx_ref[sub], slab + ct, cdt)
+        e_in = e_ref[sub]
+        cnt = cnt_ref[sub]
+        r = _recompute(
+            slab_ref, slot, far_ref[sub], e_in, sel_r, sel_s, cnt,
+            wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref,
+            wg0_ref, wg1_ref, wb0_ref, wb1_ref, bias_ref,
+            loc=loc, tile=tile, h=h, cdt=cdt,
+            res=(e1s_ref[sub], m1s_ref[sub]),
+        )
 
-    # relu' masks: compare in f32 — Mosaic has no bf16 vector compare
-    # ("Target does not support this comparison"); v > 0 <=> z > 0
-    m_b1 = r["b1"].astype(f32) > 0.0
-    m_g1 = r["g1"].astype(f32) > 0.0
-    m_m1 = r["m1"].astype(f32) > 0.0
-    m_e1 = r["e1"].astype(f32) > 0.0
+        dzx = dzx_ref[pl.ds(sub * tile, tile), :].astype(f32)
+        dze = dze_ref[sub].astype(f32)
+        if thr is not None:
+            # regenerate the EXACT forward masks: same seed, same draw
+            # order (e first, then x)
+            _seed_tile(seed_ref, t)
+            keep_e = _keep_mask(dze.shape, thr)
+            dze = jnp.where(keep_e, dze * jnp.float32(scale),
+                            jnp.float32(0.0))
+            keep_x = _keep_mask(dzx.shape, thr)
+            dzx = jnp.where(keep_x, dzx * jnp.float32(scale),
+                            jnp.float32(0.0))
 
-    # ---- beta ----
-    dx2 = dzx
-    dx2_c = dx2.astype(cdt)
-    db1 = jax.lax.dot_general(dx2_c, wb1_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
-    dzb = jnp.where(m_b1, db1, 0.0).astype(cdt)
-    dx1 = dx2 + jax.lax.dot_general(
-        dzb, wb0_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
-    dx1_c = dx1.astype(cdt)
-    # ---- gamma ----
-    dg1 = jax.lax.dot_general(dx1_c, wg1_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
-    dzg = jnp.where(m_g1, dg1, 0.0).astype(cdt)
-    dxa = jax.lax.dot_general(dzg, wg0_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)  # [tile, 2h]
-    dxt = dxa[:, :h]
-    dagg = dxa[:, h:]
-    # ---- scatter-mean + phi lin1 ----
-    dagg_d = dagg / r["deg"]
-    dagg_c = dagg_d.astype(cdt)
-    dsm = jax.lax.dot_general(dagg_c, wp1_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32).astype(cdt)
-    dm1 = jnp.dot(sel_r, dsm, preferred_element_type=f32)
-    dzm = jnp.where(m_m1, dm1, 0.0).astype(cdt)
-    de2 = dze + jax.lax.dot_general(
-        dzm, wpe_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
-    de2_c = de2.astype(cdt)
-    # ---- edge MLP ----
-    de1f = jax.lax.dot_general(de2_c, we1_ref[...], (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)
-    de1 = jnp.where(m_e1, de1f, 0.0).astype(cdt)
-    deo = jax.lax.dot_general(de1, wee_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
-    if skip:
-        deo = deo + dze
-    deo_ref[0] = deo.astype(cdt)
-    r_de1 = jax.lax.dot_general(
-        sel_r, de1, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(cdt)              # [tile, h]
-    dxt = dxt + jax.lax.dot_general(
-        r_de1, wer_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
-    # ---- sender space (slab + far), one transposed selection ----
-    both = jnp.concatenate([de1, dzm], axis=1)               # [W, 2h]
-    s_both = jax.lax.dot_general(
-        sel_s, both, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(cdt)              # [slab+Ct, 2h]
-    d_ext = jax.lax.dot_general(
-        s_both, wsp_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)                          # [slab+Ct, h]
-    dfar_ref[0] = d_ext[slab:].astype(cdt)
-    # center + halo: write the slab part into the virtual [tile+2w] window
-    # whose row v covers node t*tile - width + v (see _stage_offset)
-    off = _stage_offset(t, tile=tile, width=width, n_nodes=n_nodes)
-    stage_ref[pl.ds(0, width), :] = jnp.zeros((width, h), f32)
-    stage_ref[pl.ds(tile + width, width), :] = jnp.zeros((width, h), f32)
-    stage_ref[pl.ds(off, slab), :] = d_ext[:slab]
-    dx_total = dxt + stage_ref[pl.ds(width, tile), :]
-    if skip:
-        dx_total = dx_total + dzx
-    dx_ref[...] = dx_total.astype(cdt)
-    dhalo_ref[0, pl.ds(0, width), :] = stage_ref[
-        pl.ds(0, width), :].astype(cdt)
-    dhalo_ref[0, pl.ds(width, width), :] = stage_ref[
-        pl.ds(tile + width, width), :].astype(cdt)
+        # relu' masks: compare in f32 — Mosaic has no bf16 vector compare
+        # ("Target does not support this comparison"); v > 0 <=> z > 0
+        m_b1 = r["b1"].astype(f32) > 0.0
+        m_g1 = r["g1"].astype(f32) > 0.0
+        m_m1 = r["m1"].astype(f32) > 0.0
+        m_e1 = r["e1"].astype(f32) > 0.0
 
-    # ---- weight/bias grads (f32 accumulation across the grid) ----
-    dwb1_t = jax.lax.dot_general(r["b1"], dx2_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwb0_t = jax.lax.dot_general(r["x1"], dzb, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwg1_t = jax.lax.dot_general(r["g1"], dx1_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwg0_t = jax.lax.dot_general(r["xa"], dzg, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwp1_t = jax.lax.dot_general(r["sm"], dagg_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwpe_t = jax.lax.dot_general(r["e2"], dzm, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwe1_t = jax.lax.dot_general(r["e1"], de2_c, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwee_t = jax.lax.dot_general(e_in, de1, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwer_t = jax.lax.dot_general(r["x_tile"], r_de1,
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dwsp_t = jax.lax.dot_general(r["ext"], s_both, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-    dbias_t = jnp.concatenate([
-        _colsum(jnp.where(m_e1, de1f, 0.0)),  # b_e0 (de1 pre-cast)
-        _colsum(de2),                         # b_e1
-        _colsum(jnp.where(m_m1, dm1, 0.0)),   # b_p0 (dzm pre-cast)
-        _colsum(cnt * dagg_d),                # b_p1
-        _colsum(jnp.where(m_g1, dg1, 0.0)),   # b_g0
-        _colsum(dx1),                         # b_g1
-        _colsum(jnp.where(m_b1, db1, 0.0)),   # b_b0
-        _colsum(dx2),                         # b_b1
-    ], axis=0)
+        # ---- beta ----
+        dx2 = dzx
+        dx2_c = dx2.astype(cdt)
+        db1 = jax.lax.dot_general(dx2_c, wb1_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        dzb = jnp.where(m_b1, db1, 0.0).astype(cdt)
+        dx1 = dx2 + jax.lax.dot_general(
+            dzb, wb0_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        dx1_c = dx1.astype(cdt)
+        # ---- gamma ----
+        dg1 = jax.lax.dot_general(dx1_c, wg1_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        dzg = jnp.where(m_g1, dg1, 0.0).astype(cdt)
+        dxa = jax.lax.dot_general(dzg, wg0_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)  # [tile, 2h]
+        dxt = dxa[:, :h]
+        dagg = dxa[:, h:]
+        # ---- scatter-mean + phi lin1 ----
+        dagg_d = dagg / r["deg"]
+        dagg_c = dagg_d.astype(cdt)
+        dsm = jax.lax.dot_general(dagg_c, wp1_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32).astype(cdt)
+        dm1 = jnp.dot(sel_r, dsm, preferred_element_type=f32)
+        dzm = jnp.where(m_m1, dm1, 0.0).astype(cdt)
+        de2 = dze + jax.lax.dot_general(
+            dzm, wpe_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        de2_c = de2.astype(cdt)
+        # ---- edge MLP ----
+        de1f = jax.lax.dot_general(de2_c, we1_ref[...],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+        de1 = jnp.where(m_e1, de1f, 0.0).astype(cdt)
+        deo = jax.lax.dot_general(de1, wee_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        if skip:
+            deo = deo + dze
+        deo_ref[sub] = deo.astype(cdt)
+        r_de1 = jax.lax.dot_general(
+            sel_r, de1, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(cdt)          # [tile, h]
+        dxt = dxt + jax.lax.dot_general(
+            r_de1, wer_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        # ---- sender space (slab + far), one transposed selection ----
+        both = jnp.concatenate([de1, dzm], axis=1)           # [W, 2h]
+        s_both = jax.lax.dot_general(
+            sel_s, both, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(cdt)          # [slab+Ct, 2h]
+        d_ext = jax.lax.dot_general(
+            s_both, wsp_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                      # [slab+Ct, h]
+        dfar_ref[sub] = d_ext[slab:].astype(cdt)
+        # center + halo: write the slab part into the virtual [tile+2w]
+        # window whose row v covers node t*tile - width + v
+        # (_stage_offset); per-sub staging slots — no WAR hazard between
+        # unrolled tiles
+        off = _stage_offset(t, tile=tile, width=width, n_nodes=n_nodes)
+        stage_ref[sub, pl.ds(0, width), :] = jnp.zeros((width, h), f32)
+        stage_ref[sub, pl.ds(tile + width, width), :] = jnp.zeros(
+            (width, h), f32)
+        stage_ref[sub, pl.ds(off, slab), :] = d_ext[:slab]
+        dx_total = dxt + stage_ref[sub, pl.ds(width, tile), :]
+        if skip:
+            dx_total = dx_total + dzx
+        dx_ref[pl.ds(sub * tile, tile), :] = dx_total.astype(cdt)
+        dhalo_ref[sub, pl.ds(0, width), :] = stage_ref[
+            sub, pl.ds(0, width), :].astype(cdt)
+        dhalo_ref[sub, pl.ds(width, width), :] = stage_ref[
+            sub, pl.ds(tile + width, width), :].astype(cdt)
 
-    @pl.when(t == 0)
-    def _():
-        dwer_ref[...] = dwer_t
-        dwee_ref[...] = dwee_t
-        dwsp_ref[...] = dwsp_t
-        dwe1_ref[...] = dwe1_t
-        dwpe_ref[...] = dwpe_t
-        dwp1_ref[...] = dwp1_t
-        dwg0_ref[...] = dwg0_t
-        dwg1_ref[...] = dwg1_t
-        dwb0_ref[...] = dwb0_t
-        dwb1_ref[...] = dwb1_t
-        dbias_ref[...] = dbias_t
+        # ---- weight/bias grads (f32 accumulation across the grid) ----
+        dwb1_t = jax.lax.dot_general(r["b1"], dx2_c,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwb0_t = jax.lax.dot_general(r["x1"], dzb,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwg1_t = jax.lax.dot_general(r["g1"], dx1_c,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwg0_t = jax.lax.dot_general(r["xa"], dzg,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwp1_t = jax.lax.dot_general(r["sm"], dagg_c,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwpe_t = jax.lax.dot_general(r["e2"], dzm,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwe1_t = jax.lax.dot_general(r["e1"], de2_c,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwee_t = jax.lax.dot_general(e_in, de1, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwer_t = jax.lax.dot_general(r["x_tile"], r_de1,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dwsp_t = jax.lax.dot_general(r["ext"], s_both,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+        dbias_t = jnp.concatenate([
+            _colsum(jnp.where(m_e1, de1f, 0.0)),  # b_e0 (de1 pre-cast)
+            _colsum(de2),                         # b_e1
+            _colsum(jnp.where(m_m1, dm1, 0.0)),   # b_p0 (dzm pre-cast)
+            _colsum(cnt * dagg_d),                # b_p1
+            _colsum(jnp.where(m_g1, dg1, 0.0)),   # b_g0
+            _colsum(dx1),                         # b_g1
+            _colsum(jnp.where(m_b1, db1, 0.0)),   # b_b0
+            _colsum(dx2),                         # b_b1
+        ], axis=0)
 
-    @pl.when(t > 0)
-    def _():
+        # unconditional accumulate — the accumulators were zeroed once at
+        # p == 0 below; putting per-step set-vs-accumulate in pl.when
+        # regions costs region overhead on EVERY grid step, and wrapping
+        # whole tile bodies in regions measured 135.6 -> 183.8 ms/step
+        # (regions are control-flow barriers that break the
+        # cross-grid-step pipeline, cf. the SAGE merged-bwd notes)
         dwer_ref[...] += dwer_t
         dwee_ref[...] += dwee_t
         dwsp_ref[...] += dwsp_t
@@ -475,38 +538,50 @@ def _bwd_kernel(
         dwb1_ref[...] += dwb1_t
         dbias_ref[...] += dbias_t
 
+    @pl.when(p == 0)
+    def _():
+        for ref in (dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref,
+                    dwp1_ref, dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref,
+                    dbias_ref):
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
 
-def _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed, *,
-              static):
+    for _sub in range(unroll):
+        tile_body(_sub)
+
+
+def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
+              seed, *, static):
     s = static
     tile, width, h = s["tile"], s["width"], s["h"]
     n, n_tiles = s["n_nodes"], s["n_tiles"]
     w_cap, ct = s["w_cap"], s["ct"]
+    unroll = _pick_unroll(n_tiles, _UNROLL_BWD)
     kern = functools.partial(
         _bwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
-        thr=s["thr"], scale=s["scale"],
+        thr=s["thr"], scale=s["scale"], unroll=unroll,
     )
     full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
                                     memory_space=pltpu.VMEM)
-    blk_e = pl.BlockSpec((1, w_cap, h), lambda t: (t, 0, 0),
+    blk_e = pl.BlockSpec((unroll, w_cap, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_i = pl.BlockSpec((1, w_cap, 1), lambda t: (t, 0, 0),
+    blk_i = pl.BlockSpec((unroll, w_cap, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-    nbuf = min(_NBUF, max(n_tiles, 2))
+    nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
     f32 = jnp.float32
     return pl.pallas_call(
         kern,
-        grid=(n_tiles,),
+        grid=(n_tiles // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
-            pl.BlockSpec((tile, h), lambda t: (t, 0),
+            pl.BlockSpec((unroll * tile, h), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),      # dzx
             blk_e,                                      # dze
+            blk_e, blk_e,                               # e1s, m1s
             blk_e, blk_i, blk_i,
-            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # far
-            pl.BlockSpec((1, tile, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # cnt
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
@@ -514,12 +589,12 @@ def _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed, *,
             pl.BlockSpec(memory_space=pl.ANY),          # x
         ],
         out_specs=[
-            pl.BlockSpec((tile, h), lambda t: (t, 0),
+            pl.BlockSpec((unroll * tile, h), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),      # dx center
-            pl.BlockSpec((1, 2 * width, h), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, 2 * width, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # dhalo
             blk_e,                                      # de_win
-            pl.BlockSpec((1, ct, h), lambda t: (t, 0, 0),
+            pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # dfar
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
@@ -545,11 +620,11 @@ def _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed, *,
         scratch_shapes=[
             pltpu.VMEM((nbuf, tile + width, h), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.VMEM((tile + 2 * width, h), f32),     # halo staging
+            pltpu.VMEM((unroll, tile + 2 * width, h), f32),  # halo staging
         ],
         interpret=s["interpret"],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, dzx, dze, e_win, sidx, ridx, x_far, cnt,
+    )(seed, dzx, dze, e1s, m1s, e_win, sidx, ridx, x_far, cnt,
       *[wd[k] for k in _WKEYS], x)
 
 
@@ -565,15 +640,17 @@ def _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
 
 
 def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
-    out = _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed)
-    return out, (x, e_win, x_far, wd, sidx, ridx, cnt, seed)
+    zx, ze, e1s, m1s = _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt,
+                                 seed, static=static, save_res=True)
+    return (zx, ze), (x, e_win, x_far, wd, sidx, ridx, cnt, seed, e1s,
+                      m1s)
 
 
 def _fused_block_bwd(static, res, cts):
-    x, e_win, x_far, wd, sidx, ridx, cnt, seed = res
+    x, e_win, x_far, wd, sidx, ridx, cnt, seed, e1s, m1s = res
     dzx, dze = cts
-    outs = _call_bwd(dzx, dze, x, e_win, x_far, wd, sidx, ridx, cnt, seed,
-                     static=static)
+    outs = _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx,
+                     cnt, seed, static=static)
     (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
      dwg1, dwb0, dwb1, dbias) = outs
     tile, width = static["tile"], static["width"]

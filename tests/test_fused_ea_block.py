@@ -27,7 +27,10 @@ def _packed(n_graphs=16, seed=2, supernode=False):
         use_super_node=supernode, use_virtual_edges=True,
     )
     n = sum(g.n_node for g in ds) + 1
-    ncap = ((max(n, TILE + WIDTH) + TILE - 1) // TILE) * TILE
+    # EVEN tile count so the kernels' unroll-2 path is what CPU tests
+    # cover (odd counts fall back to unroll 1)
+    ncap = ((max(n, TILE + WIDTH) + 2 * TILE - 1)
+            // (2 * TILE)) * (2 * TILE)
     ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
     batch = pack_graphs(ds, ncap, ecap, n_graphs + 1,
                         band_width=WIDTH, band_tile=TILE)
