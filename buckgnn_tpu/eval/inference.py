@@ -99,7 +99,12 @@ def run_inference(
     if train_cfg.segment_impl.startswith("banded"):
         from buckgnn_tpu.graph.batch import select_band_geometry
 
-        tile, width = select_band_geometry(test_data)
+        # EA checkpoints: tile 128 for the fused block kernel (see
+        # trainer.train_gnn's geometry note)
+        ea = str(config.get("model_name", "")).startswith("EA_")
+        tile, width = select_band_geometry(
+            test_data, **(dict(tile=128, widths=(64, 128)) if ea else {}),
+        )
         # 4-tile alignment so the Pallas kernels' 4-tile unrolls engage
         # (matches trainer/bench)
         align = 4 * tile

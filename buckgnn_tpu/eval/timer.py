@@ -114,7 +114,12 @@ def run_time_analysis(
     if train_cfg.segment_impl.startswith("banded"):
         from buckgnn_tpu.graph.batch import select_band_geometry
 
-        tile, width = select_band_geometry(graphs)
+        # EA checkpoints: tile 128 for the fused block kernel (see
+        # trainer.train_gnn's geometry note)
+        ea = str(config.get("model_name", "")).startswith("EA_")
+        tile, width = select_band_geometry(
+            graphs, **(dict(tile=128, widths=(64, 128)) if ea else {}),
+        )
         band_kw = dict(band_width=width, band_tile=tile, rcm=True)
     ncap, ecap = suggest_capacities(graphs, 1, slack=2.0)
     if band_kw:

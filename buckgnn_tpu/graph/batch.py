@@ -165,6 +165,14 @@ class GraphBatch:
     # and far senders alike (win pads carry FAR_SLOT_SENTINEL — a code no
     # slab extension can reach, so cap widening never aliases a row).
     win_far_tsend: jnp.ndarray | None = None  # [n_tiles, Ct] int32
+    # sender-sorted view of the SAME far rows for the fused-EA backward's
+    # dx fold: win_fs_src[ts, c] is the flat tiled-far index (t*Ct + j)
+    # of the c-th far row whose SENDER lies in tile ts, win_fs_lidx its
+    # sender's tile-local row (sentinel band_tile for pads). Replaces an
+    # XLA row scatter-add (~40 ns/row) with a gather + per-sender-tile
+    # one-hot matmul.
+    win_fs_src: jnp.ndarray | None = None    # [n_tiles, Cs] int32
+    win_fs_lidx: jnp.ndarray | None = None   # [n_tiles, Cs] int32
     # static metadata (not traced)
     band_tile: int | None = struct.field(pytree_node=False, default=None)
     band_width: int | None = struct.field(pytree_node=False, default=None)
@@ -635,11 +643,34 @@ def pack_graphs(
             per_tile = np.bincount(t_far, minlength=n_tiles_b)
             ct_cap = ((max(int(per_tile.max(initial=0)), 8) + 7) // 8) * 8
             far_tsend = np.full((n_tiles_b, ct_cap), dead, np.int32)
+            cs_cap = 8
+            fs_src = np.zeros((n_tiles_b, cs_cap), np.int32)
+            fs_lidx = np.full((n_tiles_b, cs_cap), band_tile, np.int32)
             if f_cnt:
                 ranks = np.arange(f_cnt) - np.searchsorted(t_far, t_far)
                 far_tsend[t_far, ranks] = senders[idx_v][far]
                 w_sidx[t_far, pos[far]] = (slab + ranks).astype(np.int32)
+                # sender-sorted view (win_fs_*): group the same far rows
+                # by SENDER tile with tile-local rows
+                f_send = senders[idx_v][far]
+                k_flat = (t_far * ct_cap + ranks).astype(np.int64)
+                s_tile_of = f_send // band_tile
+                order = np.argsort(s_tile_of, kind="stable")
+                fs_k = k_flat[order]
+                fs_t = s_tile_of[order]
+                fs_l = f_send[order] - fs_t * band_tile
+                cnt_s = np.bincount(fs_t, minlength=n_tiles_b)
+                cs_cap = ((max(int(cnt_s.max(initial=0)), 8) + 7) // 8) * 8
+                fs_src = np.zeros((n_tiles_b, cs_cap), np.int32)
+                fs_lidx = np.full((n_tiles_b, cs_cap), band_tile,
+                                  np.int32)
+                ranks_s = np.arange(len(fs_t)) - np.searchsorted(fs_t,
+                                                                 fs_t)
+                fs_src[fs_t, ranks_s] = fs_k.astype(np.int32)
+                fs_lidx[fs_t, ranks_s] = fs_l.astype(np.int32)
             win_kw = dict(
+                win_fs_src=jnp.asarray(fs_src),
+                win_fs_lidx=jnp.asarray(fs_lidx),
                 win_edges=jnp.asarray(w_edges),
                 win_sidx=jnp.asarray(w_sidx),
                 win_ridx=jnp.asarray(w_ridx),
@@ -755,6 +786,7 @@ def batch_iterator(
     min_win_cap: int = 0,
     min_far_cap: int = 0,
     min_far_tile_cap: int = 0,
+    min_fs_cap: int = 0,
     min_spill_cap: int = 0,
     min_spill2_cap: int = 0,
     min_band_cap: int = 0,
@@ -865,15 +897,32 @@ def batch_iterator(
                     min_far_cap)
         ft_max = max(max(b.win_far_tsend.shape[1] for b in batches),
                      min_far_tile_cap)
+        cs_max = max(max(b.win_fs_src.shape[1] for b in batches),
+                     min_fs_cap)
     for b in batches:
         win_kw = {}
         if ft_max and b.win_far_tsend.shape[1] < ft_max:
-            dft = ft_max - b.win_far_tsend.shape[1]
+            ct_old = b.win_far_tsend.shape[1]
+            dft = ft_max - ct_old
             nt = b.win_far_tsend.shape[0]
             win_kw["win_far_tsend"] = jnp.concatenate(
                 [b.win_far_tsend,
                  jnp.full((nt, dft), b.n_node_cap - 1, jnp.int32)],
                 axis=1)
+            # fs_src flat indices stride by Ct — re-map to the widened
+            # stride (pads are 0 -> stay 0; lidx sentinel guards them)
+            win_kw["win_fs_src"] = (
+                (b.win_fs_src // ct_old) * ft_max + b.win_fs_src % ct_old
+            ).astype(jnp.int32)
+        if cs_max and b.win_fs_src.shape[1] < cs_max:
+            dcs = cs_max - b.win_fs_src.shape[1]
+            nt = b.win_fs_src.shape[0]
+            src = win_kw.get("win_fs_src", b.win_fs_src)
+            win_kw["win_fs_src"] = jnp.concatenate(
+                [src, jnp.zeros((nt, dcs), jnp.int32)], axis=1)
+            win_kw["win_fs_lidx"] = jnp.concatenate(
+                [b.win_fs_lidx,
+                 jnp.full((nt, dcs), b.band_tile, jnp.int32)], axis=1)
         if w_max and b.win_edges.shape[1] < w_max:
             dw = w_max - b.win_edges.shape[1]
             nt = b.win_edges.shape[0]

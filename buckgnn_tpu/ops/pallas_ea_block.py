@@ -634,20 +634,23 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
+def _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt, fs_src,
+                 fs_lidx, seed):
     return tuple(_call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed,
                            static=static))
 
 
-def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt, seed):
+def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt,
+                     fs_src, fs_lidx, seed):
     zx, ze, e1s, m1s = _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt,
                                  seed, static=static, save_res=True)
-    return (zx, ze), (x, e_win, x_far, wd, sidx, ridx, cnt, seed, e1s,
-                      m1s)
+    return (zx, ze), (x, e_win, x_far, wd, sidx, ridx, cnt, fs_src,
+                      fs_lidx, seed, e1s, m1s)
 
 
 def _fused_block_bwd(static, res, cts):
-    x, e_win, x_far, wd, sidx, ridx, cnt, seed, e1s, m1s = res
+    (x, e_win, x_far, wd, sidx, ridx, cnt, fs_src, fs_lidx, seed, e1s,
+     m1s) = res
     dzx, dze = cts
     outs = _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx,
                      cnt, seed, static=static)
@@ -655,6 +658,7 @@ def _fused_block_bwd(static, res, cts):
      dwg1, dwb0, dwb1, dbias) = outs
     tile, width = static["tile"], static["width"]
     n, h = x.shape
+    n_tiles = static["n_tiles"]
     # fold the slab-overlap halos: dhalo[t, :width] covers nodes
     # [t*tile - width, t*tile), dhalo[t, width:] covers
     # [(t+1)*tile, (t+1)*tile + width) — two shifted pad-adds, all
@@ -668,6 +672,19 @@ def _fused_block_bwd(static, res, cts):
     rp = jnp.pad(right, ((0, 0), (0, tile - width), (0, 0))).reshape(n, h)
     dxf = dxf + jnp.concatenate(
         [jnp.zeros((tile, h), jnp.float32), rp[:-tile]], axis=0)
+    # far-sender dx: gather the receiver-tiled dfar rows into their
+    # SENDER-tile windows and fold with a per-tile one-hot matmul — the
+    # row scatter-add this replaces ran ~40 ns/row (1.07 ms/layer at
+    # flagship shape); pads carry lidx == tile and select nothing
+    cs = fs_src.shape[1]
+    rows = jnp.take(dfar.reshape(n_tiles * dfar.shape[1], h),
+                    fs_src.reshape(-1), axis=0).reshape(n_tiles, cs, h)
+    sel = (fs_lidx[..., None]
+           == jnp.arange(tile, dtype=jnp.int32)[None, None, :])
+    contrib = jnp.einsum(
+        "tcl,tch->tlh", sel.astype(rows.dtype), rows,
+        preferred_element_type=jnp.float32).reshape(n, h)
+    dxf = dxf + contrib
     dwd = dict(
         wer=dwer.astype(wd["wer"].dtype),
         wee=dwee.astype(wd["wee"].dtype),
@@ -681,8 +698,15 @@ def _fused_block_bwd(static, res, cts):
         wb1=dwb1.astype(wd["wb1"].dtype),
         bias=dbias.astype(wd["bias"].dtype),
     )
-    return (dxf.astype(x.dtype), deo, dfar, dwd, _zero_tangent(sidx),
-            _zero_tangent(ridx), jnp.zeros_like(cnt), _zero_tangent(seed))
+    # x_far's cotangent is ZERO by declaration: the far gradient was
+    # folded into dxf above, and the caller gathers x_far under
+    # stop_gradient (a zeros cotangent through a take() transpose would
+    # materialize a scatter of zeros XLA can't fold — the star-table
+    # lesson, ~4.7 ms/step of dead arithmetic)
+    return (dxf.astype(x.dtype), deo, jnp.zeros_like(x_far), dwd,
+            _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
+            _zero_tangent(fs_src), _zero_tangent(fs_lidx),
+            _zero_tangent(seed))
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -693,6 +717,7 @@ def supports_fused_ea(batch, h: int) -> bool:
     return (
         batch.win_edges is not None
         and getattr(batch, "win_far_tsend", None) is not None
+        and getattr(batch, "win_fs_src", None) is not None
         and batch.band_tile is not None
         and h % 128 == 0
         and batch.band_width % 16 == 0
@@ -754,7 +779,13 @@ def fused_ea_block(
     ridx = batch.win_ridx.reshape(n_tiles, w_cap, 1)
     cnt = (batch.row_offsets[1:] - batch.row_offsets[:-1]).astype(
         jnp.float32).reshape(n_tiles, tile, 1)
-    x_far = jnp.take(x, batch.win_far_tsend.reshape(-1),
+    # stop_gradient: the custom VJP folds the far-sender gradient into
+    # dx itself (sender-window one-hot fold) and declares x_far's
+    # cotangent zero; without stop_gradient the zero cotangent would
+    # still transpose this take() into a scatter of zeros XLA cannot
+    # fold away
+    x_far = jnp.take(jax.lax.stop_gradient(x),
+                     batch.win_far_tsend.reshape(-1),
                      axis=0).reshape(n_tiles, ct, h)
     training = not deterministic
     active = training and rate > 0.0
@@ -768,5 +799,5 @@ def fused_ea_block(
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
     zx, ze = _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt,
-                          seed)
+                          batch.win_fs_src, batch.win_fs_lidx, seed)
     return zx, ze

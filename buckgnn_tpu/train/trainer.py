@@ -281,8 +281,15 @@ def train_gnn(
         # need n_tiles % 4 == 0; bench.py uses the same alignment).
         from buckgnn_tpu.graph.batch import select_band_geometry
 
+        # EA models run the fused GraphNetBlock kernel whose
+        # selection-matmul flops scale with tile + slab: tile 128
+        # measured 16% faster than 256 at flagship shape (v5e,
+        # benchmarks/probe_ea_tile.py); width stays <= tile for the
+        # backward's halo fold
+        ea = cfg.model_name.startswith("EA_")
         tile, width = select_band_geometry(
-            list(train_data) + list(val_data)
+            list(train_data) + list(val_data),
+            **(dict(tile=128, widths=(64, 128)) if ea else {}),
         )
         align = 4 * tile
         if cfg.segment_impl == "banded_partitioned":
@@ -318,8 +325,8 @@ def train_gnn(
     # star-window fallback is sticky the same way: once any repack's
     # tiles span too many graphs (gwin stripped -> global star tables),
     # later packs are forced global too so the treedef never flips back.
-    win_floors = {"w": 0, "f": 0, "ft": 0, "s": 0, "s2": 0, "b": 0,
-                  "local_star": True}
+    win_floors = {"w": 0, "f": 0, "ft": 0, "fs": 0, "s": 0, "s2": 0,
+                  "b": 0, "local_star": True}
 
     def pack(data, shuffle, seed):
         batches = list(
@@ -328,6 +335,7 @@ def train_gnn(
                            min_win_cap=win_floors["w"],
                            min_far_cap=win_floors["f"],
                            min_far_tile_cap=win_floors["ft"],
+                           min_fs_cap=win_floors["fs"],
                            min_spill_cap=win_floors["s"],
                            min_spill2_cap=win_floors["s2"],
                            min_band_cap=win_floors["b"],
@@ -341,6 +349,8 @@ def train_gnn(
                                   batches[0].win_far_pos.shape[0])
             win_floors["ft"] = max(win_floors["ft"],
                                    batches[0].win_far_tsend.shape[1])
+            win_floors["fs"] = max(win_floors["fs"],
+                                   batches[0].win_fs_src.shape[1])
         if batches and batches[0].spill_senders is not None:
             win_floors["s"] = max(win_floors["s"],
                                   int(batches[0].spill_senders.shape[0]))
