@@ -237,6 +237,30 @@ def test_batch_iterator_window_cap_floors():
     assert (ridx == 256).all()
     far = np.asarray(padded.win_far_send)[f0:]
     assert (far == padded.n_node_cap - 1).all()
+    # tiled-far (ft) and sender-window (fs) caps pad the same way, and
+    # the sender-sorted fs_src flat indices must be re-mapped to the
+    # widened Ct stride: cross-check the two views still describe the
+    # SAME far rows (fused-EA backward fold correctness)
+    ft0 = base.win_far_tsend.shape[1]
+    fs0 = base.win_fs_src.shape[1]
+    padded2 = next(iter(batch_iterator(ds, 6, ncap, ecap,
+                                       min_far_tile_cap=ft0 + 16,
+                                       min_fs_cap=fs0 + 8, **kw)))
+    assert padded2.win_far_tsend.shape[1] == ft0 + 16
+    assert padded2.win_fs_src.shape[1] == fs0 + 8
+    tsend2 = np.asarray(padded2.win_far_tsend)
+    assert (tsend2[:, ft0:] == padded2.n_node_cap - 1).all()
+    lidx2 = np.asarray(padded2.win_fs_lidx)
+    assert (lidx2[:, fs0:] == 256).all()
+    src2 = np.asarray(padded2.win_fs_src)
+    ct2 = tsend2.shape[1]
+    for ts in range(src2.shape[0]):
+        for c in range(src2.shape[1]):
+            if lidx2[ts, c] == 256:  # pad
+                continue
+            sender = ts * 256 + lidx2[ts, c]
+            k = src2[ts, c]
+            assert tsend2[k // ct2, k % ct2] == sender
 
 
 def test_local_star_windows_fall_back_for_tiny_graphs():
