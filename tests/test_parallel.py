@@ -199,3 +199,102 @@ def test_dp_with_banded_batches():
     state, metrics = step(state, stacked, jax.random.key(0),
                           jnp.float32(1e-3))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_with_fused_ea_batches():
+    """The fused EA block kernel (custom VJP + pallas_call) must compose
+    with the DP step's vmap over stacked batches — multi-chip EA training
+    is a production path, not just single-chip. Loss must equal the
+    graph-weighted mean of per-batch sequential losses."""
+    from buckgnn_tpu.parallel.mesh import make_mesh
+    from buckgnn_tpu.train.losses import get_loss_function
+    from buckgnn_tpu.train.trainer import (
+        build_model, init_state, make_optimizer, make_train_step,
+    )
+
+    ds = generate_dataset(8, seed=5, min_side=8, max_side=10,
+                          use_virtual_edges=True)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=128, num_layers=2, batch_size=4,
+                      lr=1e-3, dropout_rate=0.0,
+                      segment_impl="banded_pallas",
+                      model_name="EA_GNN_Shared")
+    ncap, ecap = suggest_capacities(normed, 4)
+    tile, width = 128, 64
+    ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+    ecap = ((ecap + 127) // 128) * 128
+    batches = list(batch_iterator(normed, 4, ncap, ecap, band_width=width,
+                                  band_tile=tile, rcm=True))[:2]
+    assert len(batches) == 2
+    from buckgnn_tpu.ops.pallas_ea_block import supports_fused_ea
+
+    assert supports_fused_ea(batches[0], 128), "fused path must engage"
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    model = build_model(cfg, normed[0].x.shape[1],
+                        normed[0].edge_attr.shape[1])
+    opt = make_optimizer(cfg)
+    crit = get_loss_function(cfg.loss_function)
+    step = make_parallel_train_step(model, opt, crit, cfg, nz, mesh)
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    state = init_state(model, opt, batches[0])
+    _, metrics = step(state, stacked, jax.random.key(0),
+                      jnp.float32(1e-3))
+    dp_loss = float(metrics["loss"])
+    assert np.isfinite(dp_loss)
+
+    # sequential oracle: graph-weighted mean of per-batch losses
+    train_step, _ = make_train_step(model, opt, crit, cfg, nz)
+    losses, ws = [], []
+    for b in batches:
+        _, m = train_step(state, b, jax.random.key(0), jnp.float32(1e-3))
+        losses.append(float(m["loss"]))
+        ws.append(float(np.sum(np.asarray(b.graph_mask,
+                                          dtype=np.float32))))
+    oracle = float(np.average(losses, weights=ws))
+    assert dp_loss == pytest.approx(oracle, rel=1e-5)
+
+
+def test_dp_with_fused_sage_batches():
+    """Same DP-composition guarantee for the fused SAGE layer kernel
+    (supernode star threading + merged backward under vmap)."""
+    from buckgnn_tpu.parallel.mesh import make_mesh
+    from buckgnn_tpu.train.losses import get_loss_function
+    from buckgnn_tpu.train.trainer import (
+        build_model, init_state, make_optimizer, make_train_step,
+    )
+
+    ds = generate_dataset(8, seed=6, min_side=8, max_side=10,
+                          use_super_node=True, use_virtual_edges=False)
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=128, num_layers=2, batch_size=4,
+                      lr=1e-3, dropout_rate=0.0,
+                      segment_impl="banded_pallas",
+                      pooling_layer="supernode_with_pooling")
+    ncap, ecap = suggest_capacities(normed, 4)
+    tile, width = 128, 64
+    ncap = ((max(ncap, tile + width) + tile - 1) // tile) * tile
+    ecap = ((ecap + 127) // 128) * 128
+    batches = list(batch_iterator(normed, 4, ncap, ecap, band_width=width,
+                                  band_tile=tile, rcm=True))[:2]
+    assert len(batches) == 2
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    model = build_model(cfg, normed[0].x.shape[1],
+                        normed[0].edge_attr.shape[1])
+    opt = make_optimizer(cfg)
+    crit = get_loss_function(cfg.loss_function)
+    step = make_parallel_train_step(model, opt, crit, cfg, nz, mesh)
+    stacked = shard_stacked_batch(stack_batches(batches), mesh)
+    state = init_state(model, opt, batches[0])
+    _, metrics = step(state, stacked, jax.random.key(0),
+                      jnp.float32(1e-3))
+    dp_loss = float(metrics["loss"])
+    assert np.isfinite(dp_loss)
+    train_step, _ = make_train_step(model, opt, crit, cfg, nz)
+    losses, ws = [], []
+    for b in batches:
+        _, m = train_step(state, b, jax.random.key(0), jnp.float32(1e-3))
+        losses.append(float(m["loss"]))
+        ws.append(float(np.sum(np.asarray(b.graph_mask,
+                                          dtype=np.float32))))
+    oracle = float(np.average(losses, weights=ws))
+    assert dp_loss == pytest.approx(oracle, rel=1e-5)
