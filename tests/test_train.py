@@ -182,3 +182,44 @@ def test_train_mode_shape(tmp_path):
     assert all(np.isfinite(h["train_loss"]) for h in res.history)
     assert all(np.isfinite(h["val_loss"]) for h in res.history)
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
+def test_trainer_selects_ea_tile_geometry(tmp_path):
+    """EA models must train on the tile-128 fused-kernel geometry
+    (selection-matmul flops scale with tile + slab; RESULTS.md round 4)
+    — the trainer picks it from model_name, and the batch it packs is
+    fused-eligible."""
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.graph.synthetic import generate_dataset
+    from buckgnn_tpu.ops.pallas_ea_block import supports_fused_ea
+
+    ds = generate_dataset(10, seed=7, min_side=8, max_side=10,
+                          use_virtual_edges=True)
+    normed, nz = normalize_dataset(ds)
+    seen = {}
+
+    def report(h, _seen=seen):
+        return True
+
+    cfg = TrainConfig(hidden_channels=128, num_layers=2, num_epochs=1,
+                      batch_size=4, lr=1e-3, t_0=10, dropout_rate=0.0,
+                      segment_impl="banded_pallas",
+                      model_name="EA_GNN_Shared")
+    import buckgnn_tpu.train.trainer as tr
+
+    orig = tr.batch_iterator
+
+    def spy(*a, **k):
+        batches = list(orig(*a, **k))
+        seen["batch"] = batches[0]
+        return iter(batches)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(tr, "batch_iterator", spy):
+        train_gnn(cfg, normed[:8], normed[8:], nz, str(tmp_path),
+                  verbose=False, report_fn=report)
+    b = seen["batch"]
+    assert b.band_tile == 128, b.band_tile
+    assert b.band_width <= 128
+    assert supports_fused_ea(b, 128)
