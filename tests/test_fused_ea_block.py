@@ -93,10 +93,11 @@ def test_fused_grads_match_xla(name):
             jax.tree_util.keystr(kp))
 
 
-def test_fused_supernode_batch_forward():
+def test_fused_supernode_batch_forward_and_grads():
     """Supernode star edges ride the ordinary windows for EA models (no
     analytic-star machinery on this path) — the fused kernel must agree
-    on a supernode batch too."""
+    on a supernode batch in BOTH passes (supernode rows are high-degree
+    hubs, the stress case for the scatter-mean and sender folds)."""
     batch, ds = _packed(seed=4, supernode=True)
     m_ref, m_fused = _models("EA_GNN_Shared", ds, supernode=True)
     variables = m_ref.init(jax.random.key(0), batch, deterministic=True)
@@ -107,6 +108,23 @@ def test_fused_supernode_batch_forward():
         np.asarray(p_ref)[gm], np.asarray(p_fused)[gm],
         rtol=2e-4, atol=2e-5,
     )
+
+    def loss(m):
+        def f(params):
+            pred, _ = m.apply({"params": params}, batch,
+                              deterministic=True)
+            return jnp.sum(jnp.where(batch.graph_mask, pred, 0.0) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(variables["params"])
+    g_fused = jax.grad(loss(m_fused))(variables["params"])
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (kp, a), (_, b) in zip(flat_r, flat_f):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / denom < 2e-4, (
+            jax.tree_util.keystr(kp))
 
 
 def test_remat_true_forces_unfused_path():
