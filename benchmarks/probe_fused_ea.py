@@ -1,8 +1,11 @@
 """Fused EA GraphNetBlock kernel on real TPU: step time at flagship
 shape (6L h512, batch 64 and 128) at the production tile-128 geometry,
-f32 grad parity vs the windowed XLA path, a short production
-`train_gnn` run (trainer-selected geometry), and the INFERENCE_TIMER
-row off that checkpoint.
+on-chip forward parity vs the windowed XLA path (grad deltas reported
+as informational — TPU "f32" matmuls are bf16-mantissa MXU passes, so
+cross-formulation grads only agree to accumulation noise; exact-math
+parity is the CPU interpret test), a short production `train_gnn` run
+(trainer-selected geometry), and the INFERENCE_TIMER row off that
+checkpoint.
 
 Usage: timeout 3600 python benchmarks/probe_fused_ea.py [trace_dir]
 One process for everything (the axon relay charges ~3 min warmup per

@@ -67,6 +67,7 @@ from buckgnn_tpu.ops.dropout import dropout_scale, dropout_threshold
 from buckgnn_tpu.ops.pallas_sage_layer import (
     DROPOUT_BITS,
     _keep_mask,
+    _pick_unroll,
     _seed_tile,
     _slab_copy,
     _StaticDict,
@@ -82,15 +83,6 @@ _NBUF = 4
 # far shorter. Machinery kept for re-testing on other shapes.
 _UNROLL_FWD = 1
 _UNROLL_BWD = 1
-
-
-def _pick_unroll(n_tiles: int, top: int) -> int:
-    u = top
-    while u > 1:
-        if n_tiles % u == 0 and n_tiles > u:
-            return u
-        u //= 2
-    return 1
 
 # weight-dict key order for the kernels' positional args
 _WKEYS = ("wer", "wee", "wsp", "we1", "wpe", "wp1", "wg0", "wg1", "wb0",
