@@ -889,7 +889,7 @@ def batch_iterator(
     # caller that repacks per epoch (trainer repack_every_epoch) can keep
     # ONE compiled shape across shuffles by feeding back the largest caps
     # seen so far instead of recompiling whenever a shuffle shifts the max
-    w_max = f_max = ft_max = 0
+    w_max = f_max = ft_max = cs_max = 0
     if batches and batches[0].win_edges is not None:
         w_max = max(max(b.win_edges.shape[1] for b in batches),
                     min_win_cap)

@@ -278,24 +278,30 @@ def read_op2(path: str):
     pending_ident: np.ndarray | None = None
     pending_data: list[bytes] = []
 
-    def flush():
+    def flush(discard_ident=False):
         # a large table may be split across SEVERAL consecutive DATA
         # records (real Nastran splits long tables; one IDENT still
         # governs them all) — concatenate everything accumulated since
-        # the IDENT and parse it as one table body
+        # the IDENT and parse it as one table body. An IDENT with no
+        # DATA yet survives a plain flush (markers can legitimately sit
+        # between an IDENT and its DATA); it is only discarded at a
+        # table boundary / EOF, where keeping it would mis-attach the
+        # next table's records.
         nonlocal pending_ident, pending_data
         if pending_ident is not None and pending_data:
             _read_data(out, lama_eigs, table, pending_ident,
                        b"".join(pending_data))
-        pending_ident, pending_data = None, []
+            pending_ident, pending_data = None, []
+        elif discard_ident:
+            pending_ident = None
 
     for rec in _iter_records(path):
         if len(rec) == 8 and rec in _TABLE_NAMES:
-            flush()
+            flush(discard_ident=True)
             table = rec.rstrip().decode()
             continue
         if len(rec) == 4:
-            flush()  # marker record closes the current IDENT/DATA group
+            flush()  # marker record closes a completed IDENT/DATA group
             continue
         if table is None:
             continue  # file preamble
@@ -305,7 +311,7 @@ def read_op2(path: str):
         if pending_ident is None:
             continue  # data record of a table we never identified
         pending_data.append(rec)
-    flush()
+    flush(discard_ident=True)
 
     if lama_eigs:
         for ev in out.eigenvectors.values():

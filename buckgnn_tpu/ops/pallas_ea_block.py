@@ -35,18 +35,24 @@ scatter-mean is the transposed receiver selection. Selections are built
 in f32 then converted — the i1 relayout does not compile (see
 pallas_sage_layer.SPILL_SCHED notes).
 
-Backward: ONE kernel per tile RECOMPUTES the forward chain from the same
-inputs (storing [T, W, H] residuals is exactly the traffic being
-eliminated), accumulates every weight/bias grad in f32 VMEM across the
-sequential grid, and emits de_win, dfar and the sender dx in two parts:
-the tile-center block plus a [2*width, H] halo of slab-overlap
-contributions (slabs of adjacent tiles overlap by width). The halo folds
-into dx with two shifted pad-adds in XLA (pure elementwise); dfar rides
-the autodiff transpose of the x_far = take(x, tsend) gather outside the
-custom VJP. Dropout masks are regenerated from the per-(layer, tile)
-seed exactly like the fused SAGE kernels — no PRNG output ever touches
-HBM; CPU runs use interpret mode at rate 0 (the in-kernel PRNG needs a
-real TPU).
+Backward: ONE kernel per tile replays the forward chain from STORED
+e1/m1 residuals (the forward emits the two post-relu edge/phi
+activations as [T, W, H] outputs; recomputing the edge front-end
+instead was measured ~20% more bwd flops, and the extra residual
+round trip hides under DMA — RESULTS.md round-4 ladder), accumulates
+every weight/bias grad in f32 VMEM across the sequential grid (zeroed
+at grid step 0, += unconditionally after), and emits de_win, a
+receiver-tiled dfar table, and the sender dx in two parts: the
+tile-center block plus a [2*width, H] halo of slab-overlap
+contributions (slabs of adjacent tiles overlap by width). In XLA, the
+halo folds into dx with two shifted pad-adds, and dfar folds into dx
+via the win_fs_src/win_fs_lidx sender-window one-hot matmul inside
+_fused_block_bwd — x_far itself is gathered under stop_gradient and
+its cotangent declared zero (a take() transpose would materialize an
+unfoldable scatter of zeros; the star-table lesson). Dropout masks are
+regenerated from the per-(layer, tile) seed exactly like the fused
+SAGE kernels — no PRNG output ever touches HBM; CPU runs use interpret
+mode at rate 0 (the in-kernel PRNG needs a real TPU).
 
 Scope guards: `supports_fused_ea` — windowed batch with tiled far
 fields, H % 128 == 0, width % 16 == 0, width <= tile.
@@ -731,10 +737,12 @@ def fused_ea_block(
 ):
     """One full GraphNetBlock + skip + dropout. ``params`` is the flax
     param subtree of a GraphNetBlock (edge_mlp / node_mlp_phi /
-    node_mlp_gamma / node_mlp_beta); weight-dict construction and the
-    x_far gather live OUTSIDE the custom VJP, so their transposes
-    (slice/concat adjoints, the far scatter-add) ride plain autodiff.
-    Requires ``supports_fused_ea(batch, h)``."""
+    node_mlp_gamma / node_mlp_beta); weight-dict construction lives
+    OUTSIDE the custom VJP, so its transposes (slice/concat adjoints)
+    ride plain autodiff. The x_far gather is under stop_gradient: the
+    custom VJP folds the far-sender gradient into dx itself via the
+    win_fs_src/win_fs_lidx one-hot matmul and declares x_far's
+    cotangent zero. Requires ``supports_fused_ea(batch, h)``."""
     n, h = x.shape
     tile, width = batch.band_tile, batch.band_width
     n_tiles = n // tile

@@ -323,3 +323,21 @@ def test_batch_iterator_uniform_spill_caps():
         real = np.asarray(b.node_mask)[:, None]
         np.testing.assert_allclose(out_b * real, out_s * real,
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_batch_iterator_banded_no_edge_features(rng):
+    """Banded packing over graphs WITHOUT 2-D edge features (fe_dim == 0,
+    so no edge windows are built) must not crash at the run-uniform
+    window-cap widening (regression: cs_max was only assigned inside the
+    win_edges branch but read unconditionally -> UnboundLocalError)."""
+    import dataclasses
+
+    graphs = [make_random_graph(rng, n) for n in (40, 55, 33, 61)]
+    graphs = [
+        dataclasses.replace(g, edge_attr=np.zeros(len(g.senders), np.float32))
+        for g in graphs
+    ]
+    bs = list(batch_iterator(graphs, 2, 256, 2048,
+                             band_width=16, band_tile=128))
+    assert len(bs) == 2
+    assert all(b.win_edges is None for b in bs)

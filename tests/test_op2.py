@@ -303,3 +303,31 @@ def test_op2_skips_foreign_tables(mesh_and_fea, tmp_path):
     p2.write_bytes(foreign + blob + foreign)
     res = extract_op2_results(read_op2(str(p2)))
     assert res.eigenvalue == pytest.approx(fea.eigenvalue, rel=1e-6)
+
+
+def test_op2_marker_between_ident_and_data(tmp_path):
+    """A 4-byte marker record sitting BETWEEN an IDENT and its DATA (the
+    old tolerant reader skipped markers wholesale) must not drop the
+    subtable: the pending IDENT survives markers and is only discarded
+    at a table boundary / EOF (ADVICE r4 low)."""
+    eig = 7.25
+    blob = b""
+    blob += _grec(b"LAMA    ")
+    blob += _gmark(-1)
+    blob += _grec(_gident(8, 1, 2, 7, eigenvalue=eig))
+    blob += _gmark(-2)  # stray marker between IDENT and DATA
+    blob += _grec(_gentry(1.0, 1.0, eig, 0.0, 0.0, 0.0, 0.0))
+    blob += _gmark(0)
+    blob += _grec(b"OUGV1   ")
+    blob += _gmark(-1)
+    blob += _grec(_gident(8, 7, 2, 8, mode=1, eigenvalue=eig))
+    blob += _gmark(-3)
+    blob += _grec(_gentry(11, 1, 0.1, 0.2, 1.5, 0.0, 0.0, 0.0))
+    blob += _gmark(0)
+    p = tmp_path / "marker.op2"
+    p.write_bytes(blob)
+    res = read_op2(str(p))
+    ev = list(res.eigenvectors.values())
+    assert ev and ev[0].eigrs == pytest.approx([eig])
+    np.testing.assert_allclose(
+        np.asarray(ev[0].data)[0, 0, :3], [0.1, 0.2, 1.5], rtol=1e-6)
