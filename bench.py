@@ -26,7 +26,8 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
                       min_side=24, max_side=32, n_graphs=None,
                       impl="banded_pallas", compute_dtype="bfloat16",
                       band_width=None, band_tile=256, use_super_node=False,
-                      use_virtual_edges=None, dataset=None, packing="exact"):
+                      use_virtual_edges=None, dataset=None, packing="exact",
+                      model_name="GraphSage_addAggr_Shared"):
     """band_width=None auto-selects via select_band_geometry (the same
     source of truth the trainer uses); the bench meshes band fully at
     width 64 (supernode stars are analytic and never enter the band).
@@ -62,7 +63,7 @@ def build_bench_setup(batch_size=128, hidden=512, num_layers=6, seed=0,
     normed, nz = normalize_dataset(dataset)
     cfg = TrainConfig(hidden_channels=hidden, num_layers=num_layers,
                       batch_size=batch_size, segment_impl=impl,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, model_name=model_name)
     if impl.startswith("banded"):
         if band_width is None:
             band_tile, band_width = select_band_geometry(

@@ -93,6 +93,9 @@ _UNROLL_BWD = 1
 # weight-dict key order for the kernels' positional args
 _WKEYS = ("wer", "wee", "wsp", "we1", "wpe", "wp1", "wg0", "wg1", "wb0",
           "wb1", "bias")
+# extra keys in encoder-fusion mode (layer 0): padded edge_encoder
+# weights; their biases ride as rows 8..10 of the (11, h) bias stack
+_ENC_WKEYS = ("wen0", "wen1", "wen2")
 
 
 def _zero_tangent(v):
@@ -127,6 +130,30 @@ def _stage_offset(t, *, tile, width, n_nodes):
 
 def _colsum(v):
     return jnp.sum(v, axis=0, keepdims=True)
+
+
+def _enc_chain(raw, wen0_ref, wen1_ref, wen2_ref, bias_ref, *, cdt):
+    """In-kernel edge ENCODER (VERDICT r4 next #3): the reference's
+    3-layer edge_encoder MLP (in->64->128->h, Models/BuckGNN.py:67-82,
+    feeding the first block at :326-327) computed from the RAW edge
+    window [W, fe8] instead of reading the [W, h] encoded window from
+    HBM. Weights are zero-padded to (fe8, 128)/(128, 128)/(128, h) —
+    relu(0 + 0) == 0, so the padded lanes are exactly inert and the
+    sliced-back weight grads land in the real regions. Returns the two
+    post-relu hiddens (the backward reads relu' signs off them) and the
+    encoder output."""
+    f32 = jnp.float32
+    w128 = wen1_ref.shape[0]
+    b0 = bias_ref[8:9].astype(f32)[:, :w128]
+    b1 = bias_ref[9:10].astype(f32)[:, :w128]
+    b2 = bias_ref[10:11].astype(f32)
+    z1 = jnp.dot(raw, wen0_ref[...], preferred_element_type=f32) + b0
+    h1 = jnp.maximum(z1, 0.0).astype(cdt)
+    z2 = jnp.dot(h1, wen1_ref[...], preferred_element_type=f32) + b1
+    h2 = jnp.maximum(z2, 0.0).astype(cdt)
+    e_in = (jnp.dot(h2, wen2_ref[...], preferred_element_type=f32)
+            + b2).astype(cdt)
+    return h1, h2, e_in
 
 
 def _recompute(slab_ref, slot, far, e_in, sel_r, sel_s, cnt,
@@ -203,11 +230,16 @@ def _fwd_kernel(
     e_ref, sidx_ref, ridx_ref, far_ref, cnt_ref,
     wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
     wg1_ref, wb0_ref, wb1_ref, bias_ref,
-    x_hbm,
-    *outs,
+    *rest,
     tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
-    skip, thr, scale, unroll, save_res,
+    skip, thr, scale, unroll, save_res, enc=False,
 ):
+    if enc:
+        # e_ref holds the RAW [unroll, W, fe8] edge window; the encoder
+        # runs in-kernel (_enc_chain)
+        wen0_ref, wen1_ref, wen2_ref, x_hbm, *outs = rest
+    else:
+        x_hbm, *outs = rest
     outs = list(outs)
     if save_res:
         zx_ref, ze_ref, e1s_ref, m1s_ref, slab_ref, sem = outs
@@ -241,8 +273,13 @@ def _fwd_kernel(
         loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
         sel_r = _sel(ridx_ref[sub], tile, cdt)
         sel_s = _sel(sidx_ref[sub], tile + width + ct, cdt)
+        if enc:
+            _, _, e_in = _enc_chain(e_ref[sub], wen0_ref, wen1_ref,
+                                    wen2_ref, bias_ref, cdt=cdt)
+        else:
+            e_in = e_ref[sub]
         r = _recompute(
-            slab_ref, slot, far_ref[sub], e_ref[sub], sel_r, sel_s,
+            slab_ref, slot, far_ref[sub], e_in, sel_r, sel_s,
             cnt_ref[sub],
             wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
             wg1_ref, wb0_ref, wb1_ref, bias_ref,
@@ -273,16 +310,27 @@ def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static,
     tile, width, h = s["tile"], s["width"], s["h"]
     n, n_tiles = s["n_nodes"], s["n_tiles"]
     w_cap, ct = s["w_cap"], s["ct"]
+    enc = bool(s.get("enc"))
+    assert not (enc and s["skip"]), "encoder fusion is layer 0 (no skip)"
     unroll = _pick_unroll(n_tiles, _UNROLL_FWD)
     kern = functools.partial(
         _fwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
         thr=s["thr"], scale=s["scale"], unroll=unroll, save_res=save_res,
+        enc=enc,
     )
     full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
                                     memory_space=pltpu.VMEM)
     blk_e = pl.BlockSpec((unroll, w_cap, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
+    # enc mode: the edge-window INPUT is the raw [T, W, fe8] features
+    blk_ein = (pl.BlockSpec((unroll, w_cap, e_win.shape[2]),
+                            lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+               if enc else blk_e)
+    wkeys = _WKEYS + (_ENC_WKEYS if enc else ())
+    bias_rows = 11 if enc else 8
+    enc_w_specs = ([full(wd["wen0"].shape), full(wd["wen1"].shape),
+                    full(wd["wen2"].shape)] if enc else [])
     blk_i = pl.BlockSpec((unroll, w_cap, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
     nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
@@ -291,14 +339,15 @@ def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static,
         grid=(n_tiles // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
-            blk_e, blk_i, blk_i,
+            blk_ein, blk_i, blk_i,
             pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # far
             pl.BlockSpec((unroll, tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # cnt
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
-            full((h, h)), full((h, h)), full((8, h)),
+            full((h, h)), full((h, h)), full((bias_rows, h)),
+        ] + enc_w_specs + [
             pl.BlockSpec(memory_space=pl.ANY),          # x
         ],
         out_specs=[
@@ -317,7 +366,7 @@ def _call_fwd(x, e_win, x_far, wd, sidx, ridx, cnt, seed, *, static,
         ],
         interpret=s["interpret"],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, e_win, sidx, ridx, x_far, cnt, *[wd[k] for k in _WKEYS], x)
+    )(seed, e_win, sidx, ridx, x_far, cnt, *[wd[k] for k in wkeys], x)
 
 
 # --------------------------------------------------------------------- #
@@ -331,14 +380,26 @@ def _bwd_kernel(
     e_ref, sidx_ref, ridx_ref, far_ref, cnt_ref,
     wer_ref, wee_ref, wsp_ref, we1_ref, wpe_ref, wp1_ref, wg0_ref,
     wg1_ref, wb0_ref, wb1_ref, bias_ref,
-    x_hbm,
-    dx_ref, dhalo_ref, deo_ref, dfar_ref,
-    dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref, dwp1_ref,
-    dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref, dbias_ref,
-    slab_ref, sem, stage_ref,
-    *, tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
-    skip, thr, scale, unroll,
+    *rest,
+    tile, width, n_nodes, n_tiles, w_cap, ct, h, x_dtype,
+    skip, thr, scale, unroll, enc=False,
 ):
+    if enc:
+        # e_ref is the raw window; no de_win output (the raw features
+        # carry no gradient) — encoder weight grads instead
+        (wen0_ref, wen1_ref, wen2_ref, x_hbm,
+         dx_ref, dhalo_ref, dfar_ref,
+         dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref, dwp1_ref,
+         dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref, dbias_ref,
+         dwen0_ref, dwen1_ref, dwen2_ref,
+         slab_ref, sem, stage_ref) = rest
+        deo_ref = None
+    else:
+        (x_hbm,
+         dx_ref, dhalo_ref, deo_ref, dfar_ref,
+         dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref, dwp1_ref,
+         dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref, dbias_ref,
+         slab_ref, sem, stage_ref) = rest
     f32 = jnp.float32
     p = pl.program_id(0)
     base = p * unroll
@@ -370,7 +431,11 @@ def _bwd_kernel(
         loc = _loc_of(t, tile=tile, width=width, n_nodes=n_nodes)
         sel_r = _sel(ridx_ref[sub], tile, cdt)
         sel_s = _sel(sidx_ref[sub], slab + ct, cdt)
-        e_in = e_ref[sub]
+        if enc:
+            hen1, hen2, e_in = _enc_chain(e_ref[sub], wen0_ref, wen1_ref,
+                                          wen2_ref, bias_ref, cdt=cdt)
+        else:
+            e_in = e_ref[sub]
         cnt = cnt_ref[sub]
         r = _recompute(
             slab_ref, slot, far_ref[sub], e_in, sel_r, sel_s, cnt,
@@ -443,7 +508,32 @@ def _bwd_kernel(
                                   preferred_element_type=f32)
         if skip:
             deo = deo + dze
-        deo_ref[sub] = deo.astype(cdt)
+        if enc:
+            # backprop deo THROUGH the in-kernel encoder chain instead
+            # of writing the [W, h] de_win to HBM: the raw window has no
+            # gradient, so only the padded weight grads leave the kernel
+            deo_c = deo.astype(cdt)
+            dh2 = jax.lax.dot_general(deo_c, wen2_ref[...],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            dz2f = jnp.where(hen2.astype(f32) > 0.0, dh2, 0.0)
+            dz2 = dz2f.astype(cdt)
+            dh1 = jax.lax.dot_general(dz2, wen1_ref[...],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32)
+            dz1f = jnp.where(hen1.astype(f32) > 0.0, dh1, 0.0)
+            dz1 = dz1f.astype(cdt)
+            dwen2_t = jax.lax.dot_general(hen2, deo_c,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=f32)
+            dwen1_t = jax.lax.dot_general(hen1, dz2,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=f32)
+            dwen0_t = jax.lax.dot_general(e_ref[sub], dz1,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=f32)
+        else:
+            deo_ref[sub] = deo.astype(cdt)
         r_de1 = jax.lax.dot_general(
             sel_r, de1, (((0,), (0,)), ((), ())),
             preferred_element_type=f32).astype(cdt)          # [tile, h]
@@ -517,6 +607,14 @@ def _bwd_kernel(
             _colsum(jnp.where(m_b1, db1, 0.0)),   # b_b0
             _colsum(dx2),                         # b_b1
         ], axis=0)
+        if enc:
+            w128 = wen1_ref.shape[0]
+            dbias_t = jnp.concatenate([
+                dbias_t,
+                jnp.pad(_colsum(dz1f), ((0, 0), (0, h - w128))),  # be_0
+                jnp.pad(_colsum(dz2f), ((0, 0), (0, h - w128))),  # be_1
+                _colsum(deo),                                     # be_2
+            ], axis=0)
 
         # unconditional accumulate — the accumulators were zeroed once at
         # p == 0 below; putting per-step set-vs-accumulate in pl.when
@@ -535,12 +633,19 @@ def _bwd_kernel(
         dwb0_ref[...] += dwb0_t
         dwb1_ref[...] += dwb1_t
         dbias_ref[...] += dbias_t
+        if enc:
+            dwen0_ref[...] += dwen0_t
+            dwen1_ref[...] += dwen1_t
+            dwen2_ref[...] += dwen2_t
 
     @pl.when(p == 0)
     def _():
-        for ref in (dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref,
-                    dwp1_ref, dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref,
-                    dbias_ref):
+        refs = [dwer_ref, dwee_ref, dwsp_ref, dwe1_ref, dwpe_ref,
+                dwp1_ref, dwg0_ref, dwg1_ref, dwb0_ref, dwb1_ref,
+                dbias_ref]
+        if enc:
+            refs += [dwen0_ref, dwen1_ref, dwen2_ref]
+        for ref in refs:
             ref[...] = jnp.zeros(ref.shape, jnp.float32)
 
     for _sub in range(unroll):
@@ -553,20 +658,32 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
     tile, width, h = s["tile"], s["width"], s["h"]
     n, n_tiles = s["n_nodes"], s["n_tiles"]
     w_cap, ct = s["w_cap"], s["ct"]
+    enc = bool(s.get("enc"))
     unroll = _pick_unroll(n_tiles, _UNROLL_BWD)
     kern = functools.partial(
         _bwd_kernel, tile=tile, width=width, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, h=h, x_dtype=x.dtype, skip=s["skip"],
-        thr=s["thr"], scale=s["scale"], unroll=unroll,
+        thr=s["thr"], scale=s["scale"], unroll=unroll, enc=enc,
     )
     full = lambda shp: pl.BlockSpec(shp, lambda t: (0,) * len(shp),
                                     memory_space=pltpu.VMEM)
     blk_e = pl.BlockSpec((unroll, w_cap, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
+    blk_ein = (pl.BlockSpec((unroll, w_cap, e_win.shape[2]),
+                            lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+               if enc else blk_e)
     blk_i = pl.BlockSpec((unroll, w_cap, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM)
     nbuf = max(_NBUF, 2 * unroll) if n_tiles > 2 else 2
     f32 = jnp.float32
+    wkeys = _WKEYS + (_ENC_WKEYS if enc else ())
+    bias_rows = 11 if enc else 8
+    enc_w_specs = ([full(wd["wen0"].shape), full(wd["wen1"].shape),
+                    full(wd["wen2"].shape)] if enc else [])
+    enc_w_shapes = ([jax.ShapeDtypeStruct(wd["wen0"].shape, f32),
+                     jax.ShapeDtypeStruct(wd["wen1"].shape, f32),
+                     jax.ShapeDtypeStruct(wd["wen2"].shape, f32)]
+                    if enc else [])
     return pl.pallas_call(
         kern,
         grid=(n_tiles // unroll,),
@@ -576,14 +693,15 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
                          memory_space=pltpu.VMEM),      # dzx
             blk_e,                                      # dze
             blk_e, blk_e,                               # e1s, m1s
-            blk_e, blk_i, blk_i,
+            blk_ein, blk_i, blk_i,
             pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # far
             pl.BlockSpec((unroll, tile, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # cnt
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
-            full((h, h)), full((h, h)), full((8, h)),
+            full((h, h)), full((h, h)), full((bias_rows, h)),
+        ] + enc_w_specs + [
             pl.BlockSpec(memory_space=pl.ANY),          # x
         ],
         out_specs=[
@@ -591,17 +709,18 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
                          memory_space=pltpu.VMEM),      # dx center
             pl.BlockSpec((unroll, 2 * width, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # dhalo
-            blk_e,                                      # de_win
+        ] + ([] if enc else [blk_e]) + [                # de_win
             pl.BlockSpec((unroll, ct, h), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # dfar
             full((h, h)), full((h, h)), full((h, 2 * h)), full((h, h)),
             full((h, h)), full((h, h)), full((2 * h, h)), full((h, h)),
-            full((h, h)), full((h, h)), full((8, h)),
-        ],
+            full((h, h)), full((h, h)), full((bias_rows, h)),
+        ] + enc_w_specs,
         out_shape=[
             jax.ShapeDtypeStruct((n, h), x.dtype),
             jax.ShapeDtypeStruct((n_tiles, 2 * width, h), x.dtype),
-            jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype),
+        ] + ([] if enc else
+             [jax.ShapeDtypeStruct((n_tiles, w_cap, h), x.dtype)]) + [
             jax.ShapeDtypeStruct((n_tiles, ct, h), x.dtype),
             jax.ShapeDtypeStruct((h, h), f32),          # dwer
             jax.ShapeDtypeStruct((h, h), f32),          # dwee
@@ -613,8 +732,8 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
             jax.ShapeDtypeStruct((h, h), f32),          # dwg1
             jax.ShapeDtypeStruct((h, h), f32),          # dwb0
             jax.ShapeDtypeStruct((h, h), f32),          # dwb1
-            jax.ShapeDtypeStruct((8, h), f32),          # dbias
-        ],
+            jax.ShapeDtypeStruct((bias_rows, h), f32),  # dbias
+        ] + enc_w_shapes,
         scratch_shapes=[
             pltpu.VMEM((nbuf, tile + width, h), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -623,7 +742,7 @@ def _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx, cnt,
         interpret=s["interpret"],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, dzx, dze, e1s, m1s, e_win, sidx, ridx, x_far, cnt,
-      *[wd[k] for k in _WKEYS], x)
+      *[wd[k] for k in wkeys], x)
 
 
 # --------------------------------------------------------------------- #
@@ -646,14 +765,10 @@ def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt,
                       fs_lidx, seed, e1s, m1s)
 
 
-def _fused_block_bwd(static, res, cts):
-    (x, e_win, x_far, wd, sidx, ridx, cnt, fs_src, fs_lidx, seed, e1s,
-     m1s) = res
-    dzx, dze = cts
-    outs = _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx,
-                     cnt, seed, static=static)
-    (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
-     dwg1, dwb0, dwb1, dbias) = outs
+def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static):
+    """Shared XLA epilogue of both backward variants: fold the
+    slab-overlap halos (two shifted pad-adds) and the receiver-tiled
+    dfar table (sender-window one-hot matmul) into dx."""
     tile, width = static["tile"], static["width"]
     n, h = x.shape
     n_tiles = static["n_tiles"]
@@ -682,7 +797,18 @@ def _fused_block_bwd(static, res, cts):
     contrib = jnp.einsum(
         "tcl,tch->tlh", sel.astype(rows.dtype), rows,
         preferred_element_type=jnp.float32).reshape(n, h)
-    dxf = dxf + contrib
+    return dxf + contrib
+
+
+def _fused_block_bwd(static, res, cts):
+    (x, e_win, x_far, wd, sidx, ridx, cnt, fs_src, fs_lidx, seed, e1s,
+     m1s) = res
+    dzx, dze = cts
+    outs = _call_bwd(dzx, dze, e1s, m1s, x, e_win, x_far, wd, sidx, ridx,
+                     cnt, seed, static=static)
+    (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
+     dwg1, dwb0, dwb1, dbias) = outs
+    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static)
     dwd = dict(
         wer=dwer.astype(wd["wer"].dtype),
         wee=dwee.astype(wd["wee"].dtype),
@@ -710,6 +836,66 @@ def _fused_block_bwd(static, res, cts):
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_block_enc(static, x, raw_win, x_far, wd, sidx, ridx, cnt,
+                     fs_src, fs_lidx, seed):
+    return tuple(_call_fwd(x, raw_win, x_far, wd, sidx, ridx, cnt, seed,
+                           static=static))
+
+
+def _fused_block_enc_fwd(static, x, raw_win, x_far, wd, sidx, ridx, cnt,
+                         fs_src, fs_lidx, seed):
+    zx, ze, e1s, m1s = _call_fwd(x, raw_win, x_far, wd, sidx, ridx, cnt,
+                                 seed, static=static, save_res=True)
+    return (zx, ze), (x, raw_win, x_far, wd, sidx, ridx, cnt, fs_src,
+                      fs_lidx, seed, e1s, m1s)
+
+
+def _fused_block_enc_bwd(static, res, cts):
+    (x, raw_win, x_far, wd, sidx, ridx, cnt, fs_src, fs_lidx, seed, e1s,
+     m1s) = res
+    dzx, dze = cts
+    outs = _call_bwd(dzx, dze, e1s, m1s, x, raw_win, x_far, wd, sidx,
+                     ridx, cnt, seed, static=static)
+    (dx, dhalo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
+     dwg1, dwb0, dwb1, dbias, dwen0, dwen1, dwen2) = outs
+    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static)
+    dwd = dict(
+        wer=dwer.astype(wd["wer"].dtype),
+        wee=dwee.astype(wd["wee"].dtype),
+        wsp=dwsp.astype(wd["wsp"].dtype),
+        we1=dwe1.astype(wd["we1"].dtype),
+        wpe=dwpe.astype(wd["wpe"].dtype),
+        wp1=dwp1.astype(wd["wp1"].dtype),
+        wg0=dwg0.astype(wd["wg0"].dtype),
+        wg1=dwg1.astype(wd["wg1"].dtype),
+        wb0=dwb0.astype(wd["wb0"].dtype),
+        wb1=dwb1.astype(wd["wb1"].dtype),
+        bias=dbias.astype(wd["bias"].dtype),
+        wen0=dwen0.astype(wd["wen0"].dtype),
+        wen1=dwen1.astype(wd["wen1"].dtype),
+        wen2=dwen2.astype(wd["wen2"].dtype),
+    )
+    # the raw edge window is DATA (no gradient); x_far rides the same
+    # zero-cotangent declaration as the plain variant
+    return (dxf.astype(x.dtype), jnp.zeros_like(raw_win),
+            jnp.zeros_like(x_far), dwd,
+            _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
+            _zero_tangent(fs_src), _zero_tangent(fs_lidx),
+            _zero_tangent(seed))
+
+
+_fused_block_enc.defvjp(_fused_block_enc_fwd, _fused_block_enc_bwd)
+
+
+def supports_fused_encoder(batch, h: int, fe: int) -> bool:
+    """Static eligibility of IN-KERNEL edge-encoder fusion for layer 0:
+    the 3-layer encoder shape (in->64->128->h, hidden > 128 in
+    models/blocks.py::encoder_widths) with raw features padding to the
+    fe8 = 8 window lane width."""
+    return supports_fused_ea(batch, h) and h > 128 and fe <= 8
+
+
 def supports_fused_ea(batch, h: int) -> bool:
     """Static eligibility of the fused EA block for this batch/width."""
     return (
@@ -734,6 +920,7 @@ def fused_ea_block(
     rate: float,
     seed: jnp.ndarray | None,
     deterministic: bool,
+    encoder_params=None,
 ):
     """One full GraphNetBlock + skip + dropout. ``params`` is the flax
     param subtree of a GraphNetBlock (edge_mlp / node_mlp_phi /
@@ -742,7 +929,15 @@ def fused_ea_block(
     ride plain autodiff. The x_far gather is under stop_gradient: the
     custom VJP folds the far-sender gradient into dx itself via the
     win_fs_src/win_fs_lidx one-hot matmul and declares x_far's
-    cotangent zero. Requires ``supports_fused_ea(batch, h)``."""
+    cotangent zero. Requires ``supports_fused_ea(batch, h)``.
+
+    ``encoder_params`` (layer 0 only, requires
+    ``supports_fused_encoder``): ``e_win`` is then the RAW [T, W, fe]
+    edge-feature window and the reference's 3-layer edge_encoder MLP
+    (Models/BuckGNN.py:67-82, feeding the first block at :326-327) runs
+    IN-KERNEL from zero-padded weights — the [T, W, h] encoded window
+    never exists in HBM in either direction (the backward accumulates
+    the encoder weight grads in VMEM instead of emitting de_win)."""
     n, h = x.shape
     tile, width = batch.band_tile, batch.band_width
     n_tiles = n // tile
@@ -775,6 +970,26 @@ def fused_ea_block(
             params["node_mlp_beta"]["lin_1"]["bias"],
         ], axis=0).astype(jnp.float32),
     )
+    enc = encoder_params is not None
+    if enc:
+        assert not skip, "encoder fusion is layer 0 (no skip)"
+        fe = e_win.shape[2]
+        e_win = jnp.pad(e_win.astype(cdt), ((0, 0), (0, 0), (0, 8 - fe)))
+        k0 = encoder_params["lin_0"]["kernel"].astype(cdt)  # [fe, 64]
+        k1 = encoder_params["lin_1"]["kernel"].astype(cdt)  # [64, 128]
+        k2 = encoder_params["lin_2"]["kernel"].astype(cdt)  # [128, h]
+        w128 = k1.shape[1]
+        wd["wen0"] = jnp.pad(k0, ((0, 8 - fe), (0, w128 - k0.shape[1])))
+        wd["wen1"] = jnp.pad(k1, ((0, w128 - k1.shape[0]), (0, 0)))
+        wd["wen2"] = k2
+        wd["bias"] = jnp.concatenate([
+            wd["bias"],
+            jnp.pad(encoder_params["lin_0"]["bias"].astype(jnp.float32),
+                    (0, h - k0.shape[1]))[None],
+            jnp.pad(encoder_params["lin_1"]["bias"].astype(jnp.float32),
+                    (0, h - w128))[None],
+            encoder_params["lin_2"]["bias"].astype(jnp.float32)[None],
+        ], axis=0)
     sidx = batch.win_sidx.reshape(n_tiles, w_cap, 1)
     ridx = batch.win_ridx.reshape(n_tiles, w_cap, 1)
     cnt = (batch.row_offsets[1:] - batch.row_offsets[:-1]).astype(
@@ -794,10 +1009,11 @@ def fused_ea_block(
     static = _StaticDict(tuple(sorted(dict(
         tile=tile, width=width, h=h, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, skip=bool(skip), thr=thr, scale=scale,
-        interpret=jax.default_backend() == "cpu",
+        enc=enc, interpret=jax.default_backend() == "cpu",
     ).items())))
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
-    zx, ze = _fused_block(static, x, e_win, x_far, wd, sidx, ridx, cnt,
-                          batch.win_fs_src, batch.win_fs_lidx, seed)
+    block = _fused_block_enc if enc else _fused_block
+    zx, ze = block(static, x, e_win, x_far, wd, sidx, ridx, cnt,
+                   batch.win_fs_src, batch.win_fs_lidx, seed)
     return zx, ze

@@ -145,3 +145,92 @@ def test_remat_true_forces_unfused_path():
     gm = np.asarray(batch.graph_mask)
     np.testing.assert_allclose(np.asarray(p_f)[gm], np.asarray(p_r)[gm],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_fusion_matches_xla_encoder():
+    """Layer-0 encoder fusion (encoder_params): the in-kernel 3-layer
+    edge-encoder chain (zero-padded weights, VERDICT r4 next #3) must
+    reproduce the XLA-encoder -> fused-block formulation in BOTH passes,
+    including the encoder weight/bias grads accumulated in VMEM (vs the
+    autodiff of the XLA MLP). h=256 exercises the production (64, 128,
+    h) widths with a kernel-level call — no model plumbing."""
+    from buckgnn_tpu.ops.pallas_ea_block import (
+        fused_ea_block, supports_fused_encoder,
+    )
+
+    h, fe = 256, 5
+    batch, _ = _packed(seed=6)
+    assert supports_fused_encoder(batch, h, fe)
+    rng = np.random.default_rng(0)
+
+    def dense(shape):
+        return jnp.asarray(
+            rng.normal(size=shape, scale=1.0 / np.sqrt(shape[0]))
+            .astype(np.float32))
+
+    params = {
+        "edge_mlp": {"lin_0": {"kernel": dense((3 * h, h)),
+                               "bias": dense((h,))},
+                     "lin_1": {"kernel": dense((h, h)),
+                               "bias": dense((h,))}},
+        "node_mlp_phi": {"lin_0": {"kernel": dense((2 * h, h)),
+                                   "bias": dense((h,))},
+                         "lin_1": {"kernel": dense((h, h)),
+                                   "bias": dense((h,))}},
+        "node_mlp_gamma": {"lin_0": {"kernel": dense((2 * h, h)),
+                                     "bias": dense((h,))},
+                           "lin_1": {"kernel": dense((h, h)),
+                                     "bias": dense((h,))}},
+        "node_mlp_beta": {"lin_0": {"kernel": dense((h, h)),
+                                    "bias": dense((h,))},
+                          "lin_1": {"kernel": dense((h, h)),
+                                    "bias": dense((h,))}},
+    }
+    enc_params = {
+        "lin_0": {"kernel": dense((fe, 64)), "bias": dense((64,))},
+        "lin_1": {"kernel": dense((64, 128)), "bias": dense((128,))},
+        "lin_2": {"kernel": dense((128, h)), "bias": dense((h,))},
+    }
+    x = jnp.asarray(rng.normal(size=(batch.n_node_cap, h))
+                    .astype(np.float32))
+    raw = batch.win_edges.astype(jnp.float32)
+
+    def xla_encode(ep, r):
+        t = jnp.maximum(r @ ep["lin_0"]["kernel"] + ep["lin_0"]["bias"],
+                        0.0)
+        t = jnp.maximum(t @ ep["lin_1"]["kernel"] + ep["lin_1"]["bias"],
+                        0.0)
+        return t @ ep["lin_2"]["kernel"] + ep["lin_2"]["bias"]
+
+    kw = dict(skip=False, rate=0.0, seed=None, deterministic=True)
+
+    def out_ref(p, ep):
+        zx, ze = fused_ea_block(x, xla_encode(ep, raw), p, batch, **kw)
+        return zx, ze
+
+    def out_enc(p, ep):
+        zx, ze = fused_ea_block(x, raw, p, batch, encoder_params=ep, **kw)
+        return zx, ze
+
+    (zx_r, ze_r) = out_ref(params, enc_params)
+    (zx_e, ze_e) = out_enc(params, enc_params)
+    np.testing.assert_allclose(np.asarray(zx_r), np.asarray(zx_e),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ze_r), np.asarray(ze_e),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(out_fn):
+        def f(p, ep):
+            zx, ze = out_fn(p, ep)
+            return jnp.sum(zx ** 2) + jnp.sum(ze ** 2)
+        return f
+
+    g_ref = jax.grad(loss(out_ref), argnums=(0, 1))(params, enc_params)
+    g_enc = jax.grad(loss(out_enc), argnums=(0, 1))(params, enc_params)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_e, _ = jax.tree_util.tree_flatten_with_path(g_enc)
+    for (kp, a), (_, b) in zip(flat_r, flat_e):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / denom < 2e-4, (
+            jax.tree_util.keystr(kp))
