@@ -326,9 +326,14 @@ class GraphNetBlock(nn.Module):
             from buckgnn_tpu.ops.pallas_epilogue import seed_from_key
 
             dt = self.dtype
-            _ = SplitFirstMLP(h, (hx, hx, fe), dtype=dt, name="edge_mlp")(
+            # layer-0 encoder fusion: edge_attr is then the RAW window
+            # and the block's edge input dim is the ENCODER output h
+            enc_params = fused.get("enc_params")
+            fe_param = h if enc_params is not None else fe
+            _ = SplitFirstMLP(h, (hx, hx, fe_param), dtype=dt,
+                              name="edge_mlp")(
                 [jnp.zeros((8, hx), dt), jnp.zeros((8, hx), dt),
-                 jnp.zeros((8, fe), dt)])
+                 jnp.zeros((8, fe_param), dt)])
             _ = SplitFirstMLP(h, (hx, h), dtype=dt, name="node_mlp_phi")(
                 [jnp.zeros((8, hx), dt), jnp.zeros((8, h), dt)])
             _ = SplitFirstMLP(h, (hx, h), dtype=dt, name="node_mlp_gamma")(
@@ -341,6 +346,7 @@ class GraphNetBlock(nn.Module):
                 skip=fused["skip"], rate=fused["rate"],
                 seed=None if key is None else seed_from_key(key),
                 deterministic=fused["deterministic"],
+                encoder_params=enc_params,
             )
         if self.window_geom is not None:
             from buckgnn_tpu.ops import ea_windowed as eaw

@@ -304,9 +304,6 @@ class BuckGNN(nn.Module):
                                batch.win_far_pos, batch.win_far_send,
                                eaw.window_degree(batch))
                     edge_attr = eaw.window_edge_features(batch)
-            edge_attr = MLP(encoder_widths(h), dtype=self.dtype, name="edge_encoder")(
-                edge_attr
-            )
             shared = name == "EA_GNN_Shared"
             # whole-block Pallas fusion (ops/pallas_ea_block.py): the
             # entire block + skip + dropout runs as one kernel per node
@@ -315,10 +312,11 @@ class BuckGNN(nn.Module):
             # path. The in-kernel PRNG needs a real TPU (CPU covers
             # interpret mode at rate 0); remat=True forces the windowed
             # XLA path as an escape hatch.
-            can_fuse_ea = False
+            can_fuse_ea = fuse_enc = False
             if win_geom is not None and self.remat is not True:
                 from buckgnn_tpu.ops.pallas_ea_block import (
                     supports_fused_ea,
+                    supports_fused_encoder,
                 )
 
                 can_fuse_ea = supports_fused_ea(batch, h) and (
@@ -326,6 +324,25 @@ class BuckGNN(nn.Module):
                     or self.dropout_rate <= 0.0
                     or jax.default_backend() == "tpu"
                 )
+                # layer-0 encoder fusion: the edge_encoder MLP runs
+                # inside block 0's kernels from the raw edge window —
+                # the [T, W, h] encoded window never touches HBM
+                # (reference Models/BuckGNN.py:326-327 feeds the encoder
+                # into the first block)
+                fuse_enc = can_fuse_ea and supports_fused_encoder(
+                    batch, h, edge_attr.shape[-1])
+            enc_params = None
+            if fuse_enc:
+                # bind the identical edge_encoder param tree with a
+                # dummy call (dead code after tracing) and hand the
+                # subtree to block 0's kernel; edge_attr STAYS raw
+                _ = MLP(encoder_widths(h), dtype=self.dtype,
+                        name="edge_encoder")(
+                    jnp.zeros((8, edge_attr.shape[-1]), self.dtype))
+                enc_params = self.variables["params"]["edge_encoder"]
+            else:
+                edge_attr = MLP(encoder_widths(h), dtype=self.dtype,
+                                name="edge_encoder")(edge_attr)
             # EA_GNN is edge-dense: each block holds [E, 2h+..] activations
             # (~1 GB/layer at flagship shape — the reference's batch-16
             # memory wall, README.md:59-62). On the unfused path, remat
@@ -360,6 +377,7 @@ class BuckGNN(nn.Module):
                             ),
                             deterministic=deterministic,
                             batch=batch,
+                            enc_params=enc_params if i == 0 else None,
                         ),
                     )
                     continue  # skip/dropout applied in-kernel

@@ -234,3 +234,47 @@ def test_encoder_fusion_matches_xla_encoder():
         denom = max(float(np.abs(a).max()), 1e-6)
         assert float(np.abs(a - b).max()) / denom < 2e-4, (
             jax.tree_util.keystr(kp))
+
+
+def test_model_encoder_fusion_h256_forward_and_grads():
+    """Model-level parity at h=256, where supports_fused_encoder engages
+    and block 0 consumes the RAW edge window with the encoder in-kernel:
+    predictions AND every gradient (including edge_encoder's, now
+    accumulated in VMEM) must match the XLA path; the edge_encoder param
+    tree must be identical between paths (checkpoint compatibility)."""
+    batch, ds = _packed(seed=7)
+    kwargs = dict(
+        num_node_features=ds[0].x.shape[1], num_edge_features=5,
+        hidden_channels=256, num_layers=2, pooling_layer="mean",
+        dropout_rate=0.0, model_name="EA_GNN_Shared",
+    )
+    m_ref = BuckGNN(impl="xla", **kwargs)
+    m_fused = BuckGNN(impl="banded_pallas", **kwargs)
+    variables = m_ref.init(jax.random.key(2), batch, deterministic=True)
+    v_fused = m_fused.init(jax.random.key(2), batch, deterministic=True)
+    assert (jax.tree.structure(variables["params"])
+            == jax.tree.structure(v_fused["params"]))
+    p_ref, _ = m_ref.apply(variables, batch, deterministic=True)
+    p_fused, _ = m_fused.apply(variables, batch, deterministic=True)
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(
+        np.asarray(p_ref)[gm], np.asarray(p_fused)[gm],
+        rtol=2e-4, atol=2e-5,
+    )
+
+    def loss(m):
+        def f(params):
+            pred, _ = m.apply({"params": params}, batch,
+                              deterministic=True)
+            return jnp.sum(jnp.where(batch.graph_mask, pred, 0.0) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(variables["params"])
+    g_fused = jax.grad(loss(m_fused))(variables["params"])
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (kp, a), (_, b) in zip(flat_r, flat_f):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / denom < 2e-4, (
+            jax.tree_util.keystr(kp))
