@@ -24,7 +24,7 @@ ROWS = [
     ("sage-virtual", dict(use_super_node=False)),
     ("ea-virtual", dict(use_super_node=False, model_name="EA_GNN_Shared",
                         batch_size=64, n_graphs=64,
-                        band_tile=128, band_width=128)),
+                        band_tile=128, band_width=64)),
 ]
 
 
