@@ -138,6 +138,10 @@ class GraphBatch:
     # (parallel/partitioned.py::PartitionedBatch, attached via
     # `batch.replace(part=partition_batch(batch, D))`)
     part: object | None = None
+    # optional tile-sharded EA window shards for the edge-dense family's
+    # 'model' path (parallel/ea_shard.py::EAShards, attached via
+    # `batch.replace(ea_part=shard_ea_batch(batch, D))`)
+    ea_part: object | None = None
     # ---- per-receiver-tile edge WINDOWS (edge-dense models) ----
     # Edges are receiver-sorted, so each node tile owns one contiguous
     # edge range; host-reshaping them into fixed [n_tiles, W] windows lets

@@ -340,6 +340,11 @@ class GraphNetBlock(nn.Module):
                 [jnp.zeros((8, hx), dt), jnp.zeros((8, h), dt)])
             _ = MLP((h, h), dtype=dt, name="node_mlp_beta")(
                 jnp.zeros((8, h), dt))
+            if fused.get("bind_only"):
+                # tile-sharded TP (parallel/ea_shard.py): the caller only
+                # needs the param tree bound under this block's scope;
+                # the kernels run inside its shard_map
+                return x, edge_attr
             key = fused["key"]
             return fused_ea_block(
                 x, edge_attr, self.variables["params"], fused["batch"],

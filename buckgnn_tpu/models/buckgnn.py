@@ -159,7 +159,10 @@ class BuckGNN(nn.Module):
                 use_pallas=self.impl == "banded_pallas",
                 # only the mean-aggregation variants divide by in-degree
                 need_degree="mean" in name.lower(),
-                partitioned=self.impl == "banded_partitioned",
+                # EA batches carry ea_part (tile shards) instead of part
+                # (node-row shards) — their agg context stays unpartitioned
+                partitioned=(self.impl == "banded_partitioned"
+                             and batch.part is not None),
             )
 
         # ---------------- processors ---------------- #
@@ -331,8 +334,17 @@ class BuckGNN(nn.Module):
                 # into the first block)
                 fuse_enc = can_fuse_ea and supports_fused_encoder(
                     batch, h, edge_attr.shape[-1])
+            # tile-sharded model parallelism (parallel/ea_shard.py): the
+            # edge windows and activations shard by receiver tile over
+            # the 'model' mesh axis; the whole block stack runs inside
+            # one shard_map with a per-layer all_gather of node state
+            tp = (can_fuse_ea
+                  and self.impl == "banded_partitioned"
+                  and getattr(batch, "ea_part", None) is not None)
             enc_params = None
-            if fuse_enc:
+            if tp:
+                pass  # encoder runs per shard inside ea_tp_stack
+            elif fuse_enc:
                 # bind the identical edge_encoder param tree with a
                 # dummy call (dead code after tracing) and hand the
                 # subtree to block 0's kernel; edge_attr STAYS raw
@@ -343,6 +355,32 @@ class BuckGNN(nn.Module):
             else:
                 edge_attr = MLP(encoder_widths(h), dtype=self.dtype,
                                 name="edge_encoder")(edge_attr)
+            if tp:
+                from buckgnn_tpu.ops.pallas_epilogue import seed_from_key
+                from buckgnn_tpu.parallel.ea_shard import ea_tp_stack
+
+                _ = MLP(encoder_widths(h), dtype=self.dtype,
+                        name="edge_encoder")(
+                    jnp.zeros((8, edge_attr.shape[-1]), self.dtype))
+                enc_p = self.variables["params"]["edge_encoder"]
+                e_dummy = jnp.zeros((1, 1, h), self.dtype)
+                names = (["shared_gn_block"] * L if shared
+                         else [f"gn_block_{i}" for i in range(L)])
+                for nm in dict.fromkeys(names):
+                    _ = GraphNetBlock(h, dtype=self.dtype,
+                                      window_geom=win_geom, name=nm)(
+                        x, e_dummy, senders, receivers, windows,
+                        fused=dict(bind_only=True))
+                bps = [self.variables["params"][nm] for nm in names]
+                key = (None
+                       if deterministic or self.dropout_rate <= 0.0
+                       else self.make_rng("dropout"))
+                x = ea_tp_stack(
+                    x, batch.ea_part, bps, enc_p,
+                    rate=self.dropout_rate,
+                    seed=None if key is None else seed_from_key(key),
+                    deterministic=deterministic,
+                )
             # EA_GNN is edge-dense: each block holds [E, 2h+..] activations
             # (~1 GB/layer at flagship shape — the reference's batch-16
             # memory wall, README.md:59-62). On the unfused path, remat
@@ -352,10 +390,10 @@ class BuckGNN(nn.Module):
             ea_remat = (not can_fuse_ea
                         and (h >= 256 if self.remat is None else self.remat))
             Block = nn.remat(GraphNetBlock) if ea_remat else GraphNetBlock
-            if shared:
+            if shared and not tp:
                 block = Block(h, dtype=self.dtype, window_geom=win_geom,
                               name="shared_gn_block")
-            for i in range(L):
+            for i in range(0 if tp else L):
                 x_prev, e_prev = x, edge_attr
                 blk = (
                     block

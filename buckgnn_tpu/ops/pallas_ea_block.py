@@ -765,9 +765,11 @@ def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt,
                       fs_lidx, seed, e1s, m1s)
 
 
-def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static):
+def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static, fold_far=True):
     """Shared XLA epilogue of both backward variants: fold the
-    slab-overlap halos (two shifted pad-adds) and the receiver-tiled
+    slab-overlap halos (two shifted pad-adds) and — unless
+    ``fold_far=False`` (far_grad='autodiff', the tile-sharded TP path
+    where far senders may live on other shards) — the receiver-tiled
     dfar table (sender-window one-hot matmul) into dx."""
     tile, width = static["tile"], static["width"]
     n, h = x.shape
@@ -785,6 +787,8 @@ def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static):
     rp = jnp.pad(right, ((0, 0), (0, tile - width), (0, 0))).reshape(n, h)
     dxf = dxf + jnp.concatenate(
         [jnp.zeros((tile, h), jnp.float32), rp[:-tile]], axis=0)
+    if not fold_far:
+        return dxf
     # far-sender dx: gather the receiver-tiled dfar rows into their
     # SENDER-tile windows and fold with a per-tile one-hot matmul — the
     # row scatter-add this replaces ran ~40 ns/row (1.07 ms/layer at
@@ -808,7 +812,9 @@ def _fused_block_bwd(static, res, cts):
                      cnt, seed, static=static)
     (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
      dwg1, dwb0, dwb1, dbias) = outs
-    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static)
+    far_auto = bool(static.get("far_autodiff"))
+    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
+                   fold_far=not far_auto)
     dwd = dict(
         wer=dwer.astype(wd["wer"].dtype),
         wee=dwee.astype(wd["wee"].dtype),
@@ -822,12 +828,17 @@ def _fused_block_bwd(static, res, cts):
         wb1=dwb1.astype(wd["wb1"].dtype),
         bias=dbias.astype(wd["bias"].dtype),
     )
-    # x_far's cotangent is ZERO by declaration: the far gradient was
-    # folded into dxf above, and the caller gathers x_far under
-    # stop_gradient (a zeros cotangent through a take() transpose would
-    # materialize a scatter of zeros XLA can't fold — the star-table
-    # lesson, ~4.7 ms/step of dead arithmetic)
-    return (dxf.astype(x.dtype), deo, jnp.zeros_like(x_far), dwd,
+    # x_far's cotangent: ZERO by declaration in 'fold' mode (the far
+    # gradient was folded into dxf above, and the caller gathers x_far
+    # under stop_gradient — a zeros cotangent through a take() transpose
+    # would materialize a scatter of zeros XLA can't fold, the
+    # star-table lesson, ~4.7 ms/step of dead arithmetic). In
+    # far_autodiff mode (tile-sharded TP) the raw dfar table IS the
+    # cotangent: the caller's take() rides plain autodiff so the
+    # transpose scatter-adds into the REPLICATED x across shards.
+    dxfar = (dfar.astype(x_far.dtype) if far_auto
+             else jnp.zeros_like(x_far))
+    return (dxf.astype(x.dtype), deo, dxfar, dwd,
             _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
             _zero_tangent(fs_src), _zero_tangent(fs_lidx),
             _zero_tangent(seed))
@@ -859,7 +870,9 @@ def _fused_block_enc_bwd(static, res, cts):
                      ridx, cnt, seed, static=static)
     (dx, dhalo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
      dwg1, dwb0, dwb1, dbias, dwen0, dwen1, dwen2) = outs
-    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static)
+    far_auto = bool(static.get("far_autodiff"))
+    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
+                   fold_far=not far_auto)
     dwd = dict(
         wer=dwer.astype(wd["wer"].dtype),
         wee=dwee.astype(wd["wee"].dtype),
@@ -877,9 +890,12 @@ def _fused_block_enc_bwd(static, res, cts):
         wen2=dwen2.astype(wd["wen2"].dtype),
     )
     # the raw edge window is DATA (no gradient); x_far rides the same
-    # zero-cotangent declaration as the plain variant
+    # cotangent convention as the plain variant (zeros in 'fold' mode,
+    # the dfar table in far_autodiff mode)
+    dxfar = (dfar.astype(x_far.dtype) if far_auto
+             else jnp.zeros_like(x_far))
     return (dxf.astype(x.dtype), jnp.zeros_like(raw_win),
-            jnp.zeros_like(x_far), dwd,
+            dxfar, dwd,
             _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
             _zero_tangent(fs_src), _zero_tangent(fs_lidx),
             _zero_tangent(seed))
@@ -921,6 +937,8 @@ def fused_ea_block(
     seed: jnp.ndarray | None,
     deterministic: bool,
     encoder_params=None,
+    far_grad: str = "fold",
+    x_full=None,
 ):
     """One full GraphNetBlock + skip + dropout. ``params`` is the flax
     param subtree of a GraphNetBlock (edge_mlp / node_mlp_phi /
@@ -994,13 +1012,21 @@ def fused_ea_block(
     ridx = batch.win_ridx.reshape(n_tiles, w_cap, 1)
     cnt = (batch.row_offsets[1:] - batch.row_offsets[:-1]).astype(
         jnp.float32).reshape(n_tiles, tile, 1)
-    # stop_gradient: the custom VJP folds the far-sender gradient into
-    # dx itself (sender-window one-hot fold) and declares x_far's
-    # cotangent zero; without stop_gradient the zero cotangent would
-    # still transpose this take() into a scatter of zeros XLA cannot
-    # fold away
-    x_far = jnp.take(jax.lax.stop_gradient(x),
-                     batch.win_far_tsend.reshape(-1),
+    # stop_gradient ('fold' mode): the custom VJP folds the far-sender
+    # gradient into dx itself (sender-window one-hot fold) and declares
+    # x_far's cotangent zero; without stop_gradient the zero cotangent
+    # would still transpose this take() into a scatter of zeros XLA
+    # cannot fold away. 'autodiff' mode (tile-sharded TP, where far
+    # senders may live on other shards): the VJP hands dfar back as
+    # x_far's cotangent and this take() transposes into a real
+    # scatter-add against the (replicated) x.
+    # x_full (tile-sharded TP): far rows carry GLOBAL ids into the
+    # replicated node state while the kernel's slab DMAs read the LOCAL
+    # rows x
+    x_src = x if x_full is None else x_full
+    if far_grad != "autodiff":
+        x_src = jax.lax.stop_gradient(x_src)
+    x_far = jnp.take(x_src, batch.win_far_tsend.reshape(-1),
                      axis=0).reshape(n_tiles, ct, h)
     training = not deterministic
     active = training and rate > 0.0
@@ -1009,7 +1035,8 @@ def fused_ea_block(
     static = _StaticDict(tuple(sorted(dict(
         tile=tile, width=width, h=h, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, skip=bool(skip), thr=thr, scale=scale,
-        enc=enc, interpret=jax.default_backend() == "cpu",
+        enc=enc, far_autodiff=far_grad == "autodiff",
+        interpret=jax.default_backend() == "cpu",
     ).items())))
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)

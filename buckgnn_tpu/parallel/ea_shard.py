@@ -1,0 +1,266 @@
+"""Tile-sharded model parallelism for the fused EA GraphNetBlock stack.
+
+The EA counterpart of `parallel/partitioned.py` (SURVEY §2.2 mandate —
+the reference trains single-GPU, TRAIN_FINAL.py:96,172): the edge
+WINDOWS — the dominant memory term of the edge-dense family, [T, W, h]
+per layer vs [N, h] node state — are partitioned by receiver tile over
+the 'model' mesh axis, and each device runs the fused whole-block
+Pallas kernel (ops/pallas_ea_block.py) UNMODIFIED on its tile range.
+
+Design (TPU-first):
+
+- Receiver tiles are split into D contiguous ranges (RCM packing keeps
+  senders near receivers, so nearly all slab senders stay local). Each
+  device holds the raw edge windows, sender/receiver codes and the
+  [T_l, W, h] edge activations of its range ONLY — edge state is fully
+  sharded; each block's ze output stays on-shard and feeds the next
+  block without any collective.
+- Node activations are REPLICATED: after each block, the per-shard
+  [Nl, h] node outputs ride one `all_gather` (tiled, over ICI) — the
+  Megatron-style row-parallel exchange. Sender slabs at shard-interior
+  tiles read the device's own rows; the handful of senders that cross a
+  shard boundary (within width/2 of it) and every out-of-band sender
+  resolve through the kernel's existing FAR machinery against the
+  replicated x (`shard_ea_batch` re-codes them host-side).
+- Backward: the kernel's custom VJP runs per shard in
+  ``far_grad='autodiff'`` mode — the dfar table transposes through the
+  x_far take() into a scatter-add on the replicated x, the all_gather
+  transposes to a reduce_scatter, and the weight grads psum across
+  shards — all inserted by shard_map's autodiff, no hand-written
+  transposed collectives.
+
+Composes with data parallelism exactly like the SAGE partitioned path:
+the DP step vmaps over stacked batches, this op shard_maps over
+'model' (tests/test_ea_shard.py; dryrun_multichip certifies the
+composition with loss + update-fingerprint parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from buckgnn_tpu.graph.batch import FAR_SLOT_SENTINEL, GraphBatch
+
+
+@struct.dataclass
+class EAShards:
+    """Per-device windowed-EA geometry (leading axis D, sharded on the
+    'model' mesh axis inside shard_map)."""
+
+    sidx: jnp.ndarray      # [D, T_l, W] int32 re-coded slab/far codes
+    ridx: jnp.ndarray      # [D, T_l, W] int32 tile-local receivers
+    far: jnp.ndarray       # [D, T_l, Cf] int32 GLOBAL sender rows (pad: dead)
+    row_off: jnp.ndarray   # [D, Nl + 1] int32 (absolute; differenced)
+    edges: jnp.ndarray     # [D, T_l, W, Fe] raw edge-feature windows
+    tile: int = struct.field(pytree_node=False, default=128)
+    width: int = struct.field(pytree_node=False, default=64)
+    n_shards: int = struct.field(pytree_node=False, default=1)
+
+
+class _ShardView:
+    """Duck-typed stand-in for GraphBatch inside the shard body — exactly
+    the attributes fused_ea_block reads."""
+
+    def __init__(self, shards: EAShards, sidx, ridx, far, row_off):
+        self.band_tile = shards.tile
+        self.band_width = shards.width
+        self.win_sidx = sidx
+        self.win_ridx = ridx
+        self.win_far_tsend = far
+        self.row_offsets = row_off
+        t_l = sidx.shape[0]
+        # fs tables are unused in far_grad='autodiff' (zero-tangent
+        # shapes only): lidx == tile selects nothing by construction
+        self.win_fs_src = jnp.zeros((t_l, 8), jnp.int32)
+        self.win_fs_lidx = jnp.full((t_l, 8), shards.tile, jnp.int32)
+
+
+def shard_ea_batch(batch: GraphBatch, n_shards: int,
+                   far_cap: int | None = None) -> EAShards:
+    """Host-side: split a windowed banded batch into D tile ranges.
+
+    In-slab sender codes are re-based onto each shard's LOCAL slab-start
+    formula (the kernel clamps slabs at [0, Nl] exactly as it clamps at
+    [0, N] globally — shard-interior tiles keep their codes verbatim);
+    senders that fall outside a shard's local slab (boundary crossers)
+    join the out-of-band rows in the per-tile FAR list, which keeps
+    GLOBAL row ids (gathered from the replicated x). ``far_cap`` pins
+    the per-tile far capacity so every batch of a run (and every DP
+    stack member) shares one compiled shape.
+    """
+    tile, width = batch.band_tile, batch.band_width
+    assert batch.win_sidx is not None and batch.win_far_tsend is not None
+    n = batch.n_node_cap
+    assert n % (n_shards * tile) == 0, (n, n_shards, tile)
+    nl = n // n_shards
+    assert nl >= tile + width, (
+        f"tile sharding needs >= {tile + width} rows (one slab) per "
+        f"shard; got {nl} — grow n_node_cap or lower n_shards")
+    t_l = nl // tile
+    t_total = n // tile
+    slab = tile + width
+    w2 = width // 2
+    dead = n - 1
+    sent = int(FAR_SLOT_SENTINEL)
+
+    sidx = np.asarray(batch.win_sidx)
+    ridx = np.asarray(batch.win_ridx)
+    far_g = np.asarray(batch.win_far_tsend)
+    ro = np.asarray(batch.row_offsets)
+    edges = np.asarray(batch.win_edges)
+    w_cap = sidx.shape[1]
+
+    s_glob = np.clip(np.arange(t_total) * tile - w2, 0, max(n - slab, 0))
+    s_loc = np.clip((np.arange(t_total) % t_l) * tile - w2, 0,
+                    max(nl - slab, 0))
+
+    new_sidx = np.full_like(sidx, sent)
+    far_rows: list[np.ndarray] = []
+    for t in range(t_total):
+        d = t // t_l
+        codes = sidx[t]
+        in_slab = codes < slab
+        g_rows = s_glob[t] + np.where(in_slab, codes, 0)
+        l_rows = g_rows - d * nl
+        ok = in_slab & (l_rows >= s_loc[t]) & (l_rows < s_loc[t] + slab)
+        new_sidx[t, ok] = (l_rows[ok] - s_loc[t]).astype(np.int32)
+        # collect this tile's far rows: boundary crossers keep their
+        # global row; existing far codes dereference win_far_tsend
+        crossers = in_slab & ~ok
+        was_far = (codes >= slab) & (codes != sent)
+        rows = np.concatenate([
+            g_rows[crossers],
+            far_g[t, codes[was_far] - slab],
+        ])
+        slots = np.concatenate([np.nonzero(crossers)[0],
+                                np.nonzero(was_far)[0]])
+        uniq, inv = np.unique(rows, return_inverse=True)
+        far_rows.append(uniq)
+        new_sidx[t, slots] = (slab + inv).astype(np.int32)
+
+    cf = max((len(u) for u in far_rows), default=0)
+    cf = ((max(cf, 8) + 7) // 8) * 8
+    if far_cap is not None:
+        assert far_cap >= cf, (far_cap, cf)
+        cf = far_cap
+    far = np.full((t_total, cf), dead, np.int32)
+    for t, u in enumerate(far_rows):
+        far[t, : len(u)] = u
+
+    fe = edges.shape[2]
+    row_off = np.stack([ro[d * nl: (d + 1) * nl + 1]
+                        for d in range(n_shards)])
+    return EAShards(
+        sidx=jnp.asarray(new_sidx.reshape(n_shards, t_l, w_cap)),
+        ridx=jnp.asarray(ridx.reshape(n_shards, t_l, w_cap)),
+        far=jnp.asarray(far.reshape(n_shards, t_l, cf)),
+        row_off=jnp.asarray(row_off.astype(np.int32)),
+        edges=jnp.asarray(edges.reshape(n_shards, t_l, w_cap, fe)),
+        tile=tile, width=width, n_shards=n_shards,
+    )
+
+
+def pad_ea_shards(s: EAShards, far_cap: int) -> EAShards:
+    """Widen the per-tile far capacity to a run-uniform ``far_cap``
+    (pads point at the dead node; the slab+rank codes already written
+    stay valid — cap widening never aliases, FAR_SLOT_SENTINEL is
+    unreachable)."""
+    d, t_l, cf = s.far.shape
+    if cf == far_cap:
+        return s
+    assert far_cap > cf, (far_cap, cf)
+    dead = s.n_shards * (s.row_off.shape[1] - 1) - 1
+    pad = jnp.full((d, t_l, far_cap - cf), dead, jnp.int32)
+    return s.replace(far=jnp.concatenate([s.far, pad], axis=-1))
+
+
+def _encode_edges(edges, enc_params, dtype):
+    """The reference's 3-layer edge encoder (Models/BuckGNN.py:67-82) as
+    plain ops — runs per shard on the LOCAL raw windows."""
+    e = edges.astype(dtype)
+    names = sorted(enc_params)  # lin_0, lin_1, lin_2
+    for i, k in enumerate(names):
+        e = (e @ enc_params[k]["kernel"].astype(dtype)
+             + enc_params[k]["bias"].astype(dtype))
+        if i + 1 < len(names):
+            e = jax.nn.relu(e)
+    return e
+
+
+def ea_tp_stack(
+    x: jnp.ndarray,
+    shards: EAShards,
+    block_params: list,
+    enc_params,
+    *,
+    rate: float,
+    seed: jnp.ndarray | None,
+    deterministic: bool,
+    mesh=None,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Run the full EA block stack tile-sharded over ``axis``.
+
+    ``block_params``: one GraphNetBlock param subtree per layer (the
+    same object L times for EA_GNN_Shared). Returns the final node
+    state [N, h], replicated.
+    """
+    from buckgnn_tpu.ops.pallas_ea_block import fused_ea_block
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_shards = shards.n_shards
+    nl = x.shape[0] // n_shards
+    n_layers = len(block_params)
+
+    if mesh is None:
+        amesh = jax.sharding.get_abstract_mesh()
+        if axis in getattr(amesh, "axis_names", ()):
+            mesh = amesh
+        else:
+            devs = jax.devices()
+            if len(devs) < n_shards:
+                raise ValueError(
+                    f"EA tile sharding over {n_shards} shards needs "
+                    f">= {n_shards} devices (have {len(devs)}) or an "
+                    f"ambient mesh with a '{axis}' axis")
+            mesh = Mesh(np.asarray(devs[:n_shards]), (axis,))
+
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+
+    def body(x, sidx, ridx, far, row_off, edges, bp, ep, seed):
+        d = jax.lax.axis_index(axis)
+        view = _ShardView(shards, sidx[0], ridx[0], far[0], row_off[0])
+        x_loc = jax.lax.dynamic_slice_in_dim(x, d * nl, nl, 0)
+        e = _encode_edges(edges[0], ep, x.dtype)
+        for i in range(n_layers):
+            # distinct dropout streams per (layer, shard): the kernel
+            # seeds per tile from this [2] vector
+            si = jnp.stack([seed[0] + jnp.int32(i),
+                            seed[1] + d.astype(jnp.int32) * jnp.int32(7919)])
+            zx, ze = fused_ea_block(
+                x_loc, e, bp[i], view,
+                skip=0 < i < n_layers - 1, rate=rate, seed=si,
+                deterministic=deterministic, far_grad="autodiff",
+                x_full=x,
+            )
+            e = ze
+            x_loc = zx
+            x = jax.lax.all_gather(zx, axis, axis=0, tiled=True)
+        return x
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(x, shards.sidx, shards.ridx, shards.far, shards.row_off,
+              shards.edges, block_params, enc_params, seed)

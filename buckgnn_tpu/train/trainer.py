@@ -361,27 +361,43 @@ def train_gnn(
         if any(b.gcode is not None and b.gwin is None for b in batches):
             win_floors["local_star"] = False
         if cfg.segment_impl == "banded_partitioned":
-            # attach edge-partitioned shards (parallel/partitioned.py) for
-            # the 'model' axis of the ambient mesh (jax.set_mesh); one
-            # shard otherwise. Caps/flags are unified across the run so
-            # every batch shares a compiled shape.
-            from buckgnn_tpu.parallel.partitioned import (
-                pad_partitioned,
-                partition_batch,
-            )
-
+            # attach 'model'-axis shards for the ambient mesh
+            # (jax.set_mesh); one shard otherwise. Caps/flags are
+            # unified across the run so every batch shares a compiled
+            # shape. SAGE models partition the banded aggregation's node
+            # rows (parallel/partitioned.py); EA models tile-shard the
+            # edge windows of the fused block stack
+            # (parallel/ea_shard.py).
             mesh = jax.sharding.get_abstract_mesh()
             n_shards = (mesh.shape["model"]
                         if "model" in mesh.axis_names else 1)
-            pbs = [partition_batch(b, n_shards) for b in batches]
-            s_cap = max(int(pb.send_idx.shape[-1]) for pb in pbs)
-            e_cap = max(int(pb.recv_perm.shape[-1]) for pb in pbs)
-            any_spill = any(pb.has_spill for pb in pbs)
-            batches = [
-                b.replace(part=pad_partitioned(pb, s_cap, e_cap,
-                                               force_spill=any_spill))
-                for b, pb in zip(batches, pbs)
-            ]
+            if cfg.model_name.startswith("EA_GNN"):
+                from buckgnn_tpu.parallel.ea_shard import (
+                    pad_ea_shards,
+                    shard_ea_batch,
+                )
+
+                shards = [shard_ea_batch(b, n_shards) for b in batches]
+                f_cap = max(int(s.far.shape[-1]) for s in shards)
+                batches = [
+                    b.replace(ea_part=pad_ea_shards(s, f_cap))
+                    for b, s in zip(batches, shards)
+                ]
+            else:
+                from buckgnn_tpu.parallel.partitioned import (
+                    pad_partitioned,
+                    partition_batch,
+                )
+
+                pbs = [partition_batch(b, n_shards) for b in batches]
+                s_cap = max(int(pb.send_idx.shape[-1]) for pb in pbs)
+                e_cap = max(int(pb.recv_perm.shape[-1]) for pb in pbs)
+                any_spill = any(pb.has_spill for pb in pbs)
+                batches = [
+                    b.replace(part=pad_partitioned(pb, s_cap, e_cap,
+                                                   force_spill=any_spill))
+                    for b, pb in zip(batches, pbs)
+                ]
         return batches
 
     train_batches = pack(train_data, True, cfg.seed)
