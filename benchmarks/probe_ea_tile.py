@@ -27,7 +27,7 @@ from buckgnn_tpu.train.trainer import (
 )
 
 
-def run(normed, nz, tile, width, batch_size=64):
+def run(normed, nz, tile, width, batch_size=64, impl="banded_pallas"):
     take = normed[:batch_size]
     n_real = sum(g.n_node for g in take) + 1
     e_real = sum(g.n_edge for g in take)
@@ -36,9 +36,14 @@ def run(normed, nz, tile, width, batch_size=64):
     ecap = ((e_real + 127) // 128) * 128
     b = next(iter(batch_iterator(take, batch_size, ncap, ecap,
                                  band_width=width, band_tile=tile)))
+    if impl == "banded_partitioned":
+        # single-shard TP (probe_ea_tp_overhead): attach the tile shards
+        from buckgnn_tpu.parallel.ea_shard import shard_ea_batch
+
+        b = b.replace(ea_part=shard_ea_batch(b, 1))
     n_edges = int(np.sum(np.asarray(b.edge_mask)))
     cfg = TrainConfig(hidden_channels=512, num_layers=6,
-                      batch_size=batch_size, segment_impl="banded_pallas",
+                      batch_size=batch_size, segment_impl=impl,
                       compute_dtype="bfloat16",
                       model_name="EA_GNN_Shared")
     model = build_model(cfg, normed[0].x.shape[1], 5)
