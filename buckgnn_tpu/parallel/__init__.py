@@ -4,3 +4,15 @@ from buckgnn_tpu.parallel.dp import (  # noqa: F401
     shard_stacked_batch,
     make_parallel_train_step,
 )
+from buckgnn_tpu.parallel.ea_shard import (  # noqa: F401
+    EAShards,
+    ea_tp_stack,
+    pad_ea_shards,
+    shard_ea_batch,
+)
+from buckgnn_tpu.parallel.partitioned import (  # noqa: F401
+    PartitionedBatch,
+    pad_partitioned,
+    partition_batch,
+    partitioned_sage_aggregate,
+)

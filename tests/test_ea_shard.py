@@ -231,3 +231,40 @@ def test_trainer_attaches_ea_shards(tmp_path):
     res = train_gnn(cfg, normed[:6], normed[6:], nz, str(tmp_path),
                     trial_id="ea_tp_smoke", verbose=False)
     assert np.isfinite(res.best_val_mape)
+
+
+def test_stack_parity_two_shards_width128():
+    """Wide-band geometry (width == tile: slab 256, halo crossers span
+    a full tile) with 2 shards — the other production EA geometry."""
+    ds = generate_dataset(12, seed=13, min_side=8, max_side=11,
+                          use_virtual_edges=True)
+    n = sum(g.n_node for g in ds) + 1
+    width = TILE
+    align = 2 * 2 * TILE  # 2 shards x >= 2 tiles (slab = 2*tile)
+    ncap = ((max(n, TILE + width) + align - 1) // align) * align
+    ecap = ((sum(g.n_edge for g in ds) + 127) // 128) * 128
+    batch = pack_graphs(ds, ncap, ecap, 13, band_width=width,
+                        band_tile=TILE)
+    shards = shard_ea_batch(batch, 2)
+    rng = np.random.default_rng(1)
+    params, enc = _rand_params(rng)
+    x0 = jnp.asarray(rng.normal(size=(ncap, H)).astype(np.float32))
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    from buckgnn_tpu.parallel.ea_shard import _encode_edges
+    e0 = _encode_edges(batch.win_edges, enc, x0.dtype)
+    x_ref, _ = fused_ea_block(x0, e0, params, batch, skip=False,
+                              rate=0.0, seed=None, deterministic=True)
+    with jax.set_mesh(mesh):
+        x_tp = ea_tp_stack(x0, shards, [params], enc, rate=0.0,
+                           seed=None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_tp),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_shard_requires_slab_rows():
+    """Too many shards for the capacity must fail loudly, not mis-slice."""
+    batch, _ = _packed(n_graphs=4, seed=14, n_shards=4)
+    n_tiles = batch.n_node_cap // TILE
+    with pytest.raises(AssertionError, match="slab"):
+        shard_ea_batch(batch, n_tiles)  # 1 tile/shard < slab at width 64
