@@ -19,7 +19,7 @@ from bench import build_bench_setup, run_bench
 ROWS = [
     # (label, build kwargs) — geometries are the production picks
     # (CLAUDE.md perf state): SAGE auto (tile 256 / width 64 on these
-    # meshes), EA tile 128 / width 128.
+    # meshes), EA tile 128 / width 64 (the round-5 pick; RESULTS.md).
     ("sage-supernode", dict(use_super_node=True)),
     ("sage-virtual", dict(use_super_node=False)),
     ("ea-virtual", dict(use_super_node=False, model_name="EA_GNN_Shared",

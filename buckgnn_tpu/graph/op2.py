@@ -277,6 +277,10 @@ def read_op2(path: str):
     table = None
     pending_ident: np.ndarray | None = None
     pending_data: list[bytes] = []
+    # True when a marker has passed since an undischarged IDENT: the
+    # next IDENT-sized record is then a NEW ident (the old one had an
+    # empty body), not this table's first data record
+    ident_stale = False
 
     def flush(discard_ident=False):
         # a large table may be split across SEVERAL consecutive DATA
@@ -285,8 +289,9 @@ def read_op2(path: str):
         # the IDENT and parse it as one table body. An IDENT with no
         # DATA yet survives a plain flush (markers can legitimately sit
         # between an IDENT and its DATA); it is only discarded at a
-        # table boundary / EOF, where keeping it would mis-attach the
-        # next table's records.
+        # table boundary / EOF (where keeping it would mis-attach the
+        # next table's records) or when a fresh IDENT supersedes it
+        # after a marker (empty-body subtables).
         nonlocal pending_ident, pending_data
         if pending_ident is not None and pending_data:
             _read_data(out, lama_eigs, table, pending_ident,
@@ -298,15 +303,19 @@ def read_op2(path: str):
     for rec in _iter_records(path):
         if len(rec) == 8 and rec in _TABLE_NAMES:
             flush(discard_ident=True)
+            ident_stale = False
             table = rec.rstrip().decode()
             continue
         if len(rec) == 4:
             flush()  # marker record closes a completed IDENT/DATA group
+            ident_stale = pending_ident is not None
             continue
         if table is None:
             continue  # file preamble
-        if len(rec) == 4 * _IDENT_WORDS and pending_ident is None:
+        if len(rec) == 4 * _IDENT_WORDS and (pending_ident is None
+                                             or ident_stale):
             pending_ident = np.frombuffer(rec, np.int32)
+            ident_stale = False
             continue
         if pending_ident is None:
             continue  # data record of a table we never identified

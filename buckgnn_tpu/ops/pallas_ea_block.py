@@ -104,6 +104,12 @@ def _zero_tangent(v):
     return jnp.zeros_like(v)
 
 
+def _cast_dwd(wd, grads, keys):
+    """Weight-grad dict for the custom-VJP returns: each f32 accumulator
+    cast back to its weight's dtype (shared by both backward variants)."""
+    return {k: g.astype(wd[k].dtype) for k, g in zip(keys, grads)}
+
+
 def _sel(codes, k, dtype):
     """[rows, k] selection: sel[r, j] = (codes[r] == j); codes [rows, 1].
     Built in f32 then converted (Mosaic can't relayout the i1 mask)."""
@@ -815,19 +821,8 @@ def _fused_block_bwd(static, res, cts):
     far_auto = bool(static.get("far_autodiff"))
     dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
                    fold_far=not far_auto)
-    dwd = dict(
-        wer=dwer.astype(wd["wer"].dtype),
-        wee=dwee.astype(wd["wee"].dtype),
-        wsp=dwsp.astype(wd["wsp"].dtype),
-        we1=dwe1.astype(wd["we1"].dtype),
-        wpe=dwpe.astype(wd["wpe"].dtype),
-        wp1=dwp1.astype(wd["wp1"].dtype),
-        wg0=dwg0.astype(wd["wg0"].dtype),
-        wg1=dwg1.astype(wd["wg1"].dtype),
-        wb0=dwb0.astype(wd["wb0"].dtype),
-        wb1=dwb1.astype(wd["wb1"].dtype),
-        bias=dbias.astype(wd["bias"].dtype),
-    )
+    dwd = _cast_dwd(wd, (dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
+                         dwg1, dwb0, dwb1, dbias), _WKEYS)
     # x_far's cotangent: ZERO by declaration in 'fold' mode (the far
     # gradient was folded into dxf above, and the caller gathers x_far
     # under stop_gradient — a zeros cotangent through a take() transpose
@@ -873,22 +868,9 @@ def _fused_block_enc_bwd(static, res, cts):
     far_auto = bool(static.get("far_autodiff"))
     dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
                    fold_far=not far_auto)
-    dwd = dict(
-        wer=dwer.astype(wd["wer"].dtype),
-        wee=dwee.astype(wd["wee"].dtype),
-        wsp=dwsp.astype(wd["wsp"].dtype),
-        we1=dwe1.astype(wd["we1"].dtype),
-        wpe=dwpe.astype(wd["wpe"].dtype),
-        wp1=dwp1.astype(wd["wp1"].dtype),
-        wg0=dwg0.astype(wd["wg0"].dtype),
-        wg1=dwg1.astype(wd["wg1"].dtype),
-        wb0=dwb0.astype(wd["wb0"].dtype),
-        wb1=dwb1.astype(wd["wb1"].dtype),
-        bias=dbias.astype(wd["bias"].dtype),
-        wen0=dwen0.astype(wd["wen0"].dtype),
-        wen1=dwen1.astype(wd["wen1"].dtype),
-        wen2=dwen2.astype(wd["wen2"].dtype),
-    )
+    dwd = _cast_dwd(wd, (dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
+                         dwg1, dwb0, dwb1, dbias, dwen0, dwen1, dwen2),
+                    _WKEYS + _ENC_WKEYS)
     # the raw edge window is DATA (no gradient); x_far rides the same
     # cotangent convention as the plain variant (zeros in 'fold' mode,
     # the dfar table in far_autodiff mode)

@@ -37,8 +37,6 @@ composition with loss + update-fingerprint parity).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

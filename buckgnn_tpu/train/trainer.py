@@ -326,7 +326,7 @@ def train_gnn(
     # tiles span too many graphs (gwin stripped -> global star tables),
     # later packs are forced global too so the treedef never flips back.
     win_floors = {"w": 0, "f": 0, "ft": 0, "fs": 0, "s": 0, "s2": 0,
-                  "b": 0, "local_star": True}
+                  "b": 0, "ea_far": 0, "local_star": True}
 
     def pack(data, shuffle, seed):
         batches = list(
@@ -378,7 +378,13 @@ def train_gnn(
                 )
 
                 shards = [shard_ea_batch(b, n_shards) for b in batches]
-                f_cap = max(int(s.far.shape[-1]) for s in shards)
+                # sticky cross-repack floor, same role as the win_floors
+                # above: a reshuffle that shifts the max per-tile far
+                # count must not change ea_part's shape (one compiled
+                # step per run)
+                f_cap = max(max(int(s.far.shape[-1]) for s in shards),
+                            win_floors["ea_far"])
+                win_floors["ea_far"] = f_cap
                 batches = [
                     b.replace(ea_part=pad_ea_shards(s, f_cap))
                     for b, s in zip(batches, shards)

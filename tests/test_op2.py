@@ -331,3 +331,26 @@ def test_op2_marker_between_ident_and_data(tmp_path):
     assert ev and ev[0].eigrs == pytest.approx([eig])
     np.testing.assert_allclose(
         np.asarray(ev[0].data)[0, 0, :3], [0.1, 0.2, 1.5], rtol=1e-6)
+
+
+def test_op2_empty_body_ident_then_new_ident(tmp_path):
+    """An IDENT whose subtable carries NO data records, closed by a
+    marker and followed by another IDENT+DATA pair, must not swallow the
+    second IDENT as table data (review finding on the marker-tolerance
+    fix): subcase 2's data parses, subcase 1 simply has no rows."""
+    eig = 7.25
+    blob = b""
+    blob += _grec(b"OUGV1   ")
+    blob += _gmark(-1)
+    blob += _grec(_gident(8, 7, 1, 8, mode=1, eigenvalue=eig))  # empty body
+    blob += _gmark(-2)
+    blob += _grec(_gident(8, 7, 2, 8, mode=1, eigenvalue=eig))
+    blob += _grec(_gentry(11, 1, 0.1, 0.2, 1.5, 0.0, 0.0, 0.0))
+    blob += _gmark(0)
+    p = tmp_path / "emptyident.op2"
+    p.write_bytes(blob)
+    res = read_op2(str(p))
+    assert 2 in res.eigenvectors
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvectors[2].data)[0, 0, :3], [0.1, 0.2, 1.5],
+        rtol=1e-6)
