@@ -810,6 +810,35 @@ def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static, fold_far=True):
     return dxf + contrib
 
 
+def _far_cotangents(dx, dhalo, dfar, x, x_far, fs_src, fs_lidx, static):
+    """Halo-folded dx and x_far's cotangent per far_grad mode:
+    'fold'     — every far rank folds via the fs tables; x_far cotangent
+                 zeros (the caller stop-gradded the gather — a zeros
+                 cotangent through a take() transpose would materialize
+                 a scatter of zeros XLA can't fold, the star-table
+                 lesson, ~4.7 ms/step of dead arithmetic);
+    'autodiff' — nothing folds; the raw dfar table IS the cotangent and
+                 the caller's take() transpose scatter-adds it into the
+                 (replicated) x;
+    'hybrid'   — ranks [0, far_local) have shard-LOCAL senders and fold
+                 via the per-shard fs tables; only the remote tail
+                 returns as cotangent, so the scatter covers just the
+                 true cross-shard rows."""
+    far_auto = bool(static.get("far_autodiff"))
+    fl = int(static.get("far_local", 0) or 0)
+    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
+                   fold_far=(not far_auto) or fl > 0)
+    if not far_auto:
+        return dxf, jnp.zeros_like(x_far)
+    if fl > 0:
+        dxfar = jnp.concatenate(
+            [jnp.zeros((dfar.shape[0], fl, dfar.shape[2]), x_far.dtype),
+             dfar[:, fl:].astype(x_far.dtype)], axis=1)
+    else:
+        dxfar = dfar.astype(x_far.dtype)
+    return dxf, dxfar
+
+
 def _fused_block_bwd(static, res, cts):
     (x, e_win, x_far, wd, sidx, ridx, cnt, fs_src, fs_lidx, seed, e1s,
      m1s) = res
@@ -818,21 +847,10 @@ def _fused_block_bwd(static, res, cts):
                      cnt, seed, static=static)
     (dx, dhalo, deo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
      dwg1, dwb0, dwb1, dbias) = outs
-    far_auto = bool(static.get("far_autodiff"))
-    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
-                   fold_far=not far_auto)
+    dxf, dxfar = _far_cotangents(dx, dhalo, dfar, x, x_far, fs_src,
+                                 fs_lidx, static)
     dwd = _cast_dwd(wd, (dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
                          dwg1, dwb0, dwb1, dbias), _WKEYS)
-    # x_far's cotangent: ZERO by declaration in 'fold' mode (the far
-    # gradient was folded into dxf above, and the caller gathers x_far
-    # under stop_gradient — a zeros cotangent through a take() transpose
-    # would materialize a scatter of zeros XLA can't fold, the
-    # star-table lesson, ~4.7 ms/step of dead arithmetic). In
-    # far_autodiff mode (tile-sharded TP) the raw dfar table IS the
-    # cotangent: the caller's take() rides plain autodiff so the
-    # transpose scatter-adds into the REPLICATED x across shards.
-    dxfar = (dfar.astype(x_far.dtype) if far_auto
-             else jnp.zeros_like(x_far))
     return (dxf.astype(x.dtype), deo, dxfar, dwd,
             _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
             _zero_tangent(fs_src), _zero_tangent(fs_lidx),
@@ -865,17 +883,12 @@ def _fused_block_enc_bwd(static, res, cts):
                      ridx, cnt, seed, static=static)
     (dx, dhalo, dfar, dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
      dwg1, dwb0, dwb1, dbias, dwen0, dwen1, dwen2) = outs
-    far_auto = bool(static.get("far_autodiff"))
-    dxf = _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static,
-                   fold_far=not far_auto)
+    dxf, dxfar = _far_cotangents(dx, dhalo, dfar, x, x_far, fs_src,
+                                 fs_lidx, static)
     dwd = _cast_dwd(wd, (dwer, dwee, dwsp, dwe1, dwpe, dwp1, dwg0,
                          dwg1, dwb0, dwb1, dbias, dwen0, dwen1, dwen2),
                     _WKEYS + _ENC_WKEYS)
-    # the raw edge window is DATA (no gradient); x_far rides the same
-    # cotangent convention as the plain variant (zeros in 'fold' mode,
-    # the dfar table in far_autodiff mode)
-    dxfar = (dfar.astype(x_far.dtype) if far_auto
-             else jnp.zeros_like(x_far))
+    # the raw edge window is DATA (no gradient)
     return (dxf.astype(x.dtype), jnp.zeros_like(raw_win),
             dxfar, dwd,
             _zero_tangent(sidx), _zero_tangent(ridx), jnp.zeros_like(cnt),
@@ -920,6 +933,7 @@ def fused_ea_block(
     deterministic: bool,
     encoder_params=None,
     far_grad: str = "fold",
+    far_local: int = 0,
     x_full=None,
 ):
     """One full GraphNetBlock + skip + dropout. ``params`` is the flax
@@ -1001,15 +1015,29 @@ def fused_ea_block(
     # cannot fold away. 'autodiff' mode (tile-sharded TP, where far
     # senders may live on other shards): the VJP hands dfar back as
     # x_far's cotangent and this take() transposes into a real
-    # scatter-add against the (replicated) x.
+    # scatter-add against the (replicated) x. 'hybrid' (+far_local):
+    # the far table's leading far_local ranks have SHARD-LOCAL senders
+    # — they fold in-kernel-shard via the fs tables like 'fold', and
+    # only the remote tail [far_local:] rides the autodiff scatter.
     # x_full (tile-sharded TP): far rows carry GLOBAL ids into the
     # replicated node state while the kernel's slab DMAs read the LOCAL
     # rows x
     x_src = x if x_full is None else x_full
-    if far_grad != "autodiff":
-        x_src = jax.lax.stop_gradient(x_src)
-    x_far = jnp.take(x_src, batch.win_far_tsend.reshape(-1),
-                     axis=0).reshape(n_tiles, ct, h)
+    tsend = batch.win_far_tsend
+    fl = int(far_local) if far_grad == "hybrid" else 0
+    if far_grad == "fold":
+        x_far = jnp.take(jax.lax.stop_gradient(x_src), tsend.reshape(-1),
+                         axis=0).reshape(n_tiles, ct, h)
+    elif far_grad == "hybrid":
+        xf_loc = jnp.take(jax.lax.stop_gradient(x_src),
+                          tsend[:, :fl].reshape(-1),
+                          axis=0).reshape(n_tiles, fl, h)
+        xf_rem = jnp.take(x_src, tsend[:, fl:].reshape(-1),
+                          axis=0).reshape(n_tiles, ct - fl, h)
+        x_far = jnp.concatenate([xf_loc, xf_rem], axis=1)
+    else:  # 'autodiff'
+        x_far = jnp.take(x_src, tsend.reshape(-1),
+                         axis=0).reshape(n_tiles, ct, h)
     training = not deterministic
     active = training and rate > 0.0
     thr = dropout_threshold(rate, DROPOUT_BITS) if active else None
@@ -1017,8 +1045,8 @@ def fused_ea_block(
     static = _StaticDict(tuple(sorted(dict(
         tile=tile, width=width, h=h, n_nodes=n, n_tiles=n_tiles,
         w_cap=w_cap, ct=ct, skip=bool(skip), thr=thr, scale=scale,
-        enc=enc, far_autodiff=far_grad == "autodiff",
-        interpret=jax.default_backend() == "cpu",
+        enc=enc, far_autodiff=far_grad in ("autodiff", "hybrid"),
+        far_local=fl, interpret=jax.default_backend() == "cpu",
     ).items())))
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)

@@ -52,34 +52,44 @@ class EAShards:
 
     sidx: jnp.ndarray      # [D, T_l, W] int32 re-coded slab/far codes
     ridx: jnp.ndarray      # [D, T_l, W] int32 tile-local receivers
-    far: jnp.ndarray       # [D, T_l, Cf] int32 GLOBAL sender rows (pad: dead)
+    # GLOBAL sender rows (pad: dead), zone layout [local 0..Cl | remote
+    # Cl..Cl+Cr): local-sender rows fold in-shard (fs tables), remote
+    # rows ride the autodiff scatter
+    far: jnp.ndarray       # [D, T_l, Cl + Cr] int32
     row_off: jnp.ndarray   # [D, Nl + 1] int32 (absolute; differenced)
     edges: jnp.ndarray     # [D, T_l, W, Fe] raw edge-feature windows
+    # sender-sorted view of the LOCAL far zone (per SENDER tile):
+    # fs_src = flat t_recv*Cf + rank, fs_lidx = sender's tile-local row
+    # (sentinel tile for pads) — same contract as GraphBatch.win_fs_*
+    fs_src: jnp.ndarray    # [D, T_l, Cs] int32
+    fs_lidx: jnp.ndarray   # [D, T_l, Cs] int32
     tile: int = struct.field(pytree_node=False, default=128)
     width: int = struct.field(pytree_node=False, default=64)
     n_shards: int = struct.field(pytree_node=False, default=1)
+    cf_local: int = struct.field(pytree_node=False, default=0)
 
 
 class _ShardView:
     """Duck-typed stand-in for GraphBatch inside the shard body — exactly
     the attributes fused_ea_block reads."""
 
-    def __init__(self, shards: EAShards, sidx, ridx, far, row_off):
+    def __init__(self, shards: EAShards, sidx, ridx, far, row_off,
+                 fs_src, fs_lidx):
         self.band_tile = shards.tile
         self.band_width = shards.width
         self.win_sidx = sidx
         self.win_ridx = ridx
         self.win_far_tsend = far
         self.row_offsets = row_off
-        t_l = sidx.shape[0]
-        # fs tables are unused in far_grad='autodiff' (zero-tangent
-        # shapes only): lidx == tile selects nothing by construction
-        self.win_fs_src = jnp.zeros((t_l, 8), jnp.int32)
-        self.win_fs_lidx = jnp.full((t_l, 8), shards.tile, jnp.int32)
+        # LOCAL far zone fold tables (far_grad='hybrid')
+        self.win_fs_src = fs_src
+        self.win_fs_lidx = fs_lidx
 
 
 def shard_ea_batch(batch: GraphBatch, n_shards: int,
-                   far_cap: int | None = None) -> EAShards:
+                   local_cap: int | None = None,
+                   remote_cap: int | None = None,
+                   fs_cap: int | None = None) -> EAShards:
     """Host-side: split a windowed banded batch into D tile ranges.
 
     In-slab sender codes are re-based onto each shard's LOCAL slab-start
@@ -87,9 +97,10 @@ def shard_ea_batch(batch: GraphBatch, n_shards: int,
     [0, N] globally — shard-interior tiles keep their codes verbatim);
     senders that fall outside a shard's local slab (boundary crossers)
     join the out-of-band rows in the per-tile FAR list, which keeps
-    GLOBAL row ids (gathered from the replicated x). ``far_cap`` pins
-    the per-tile far capacity so every batch of a run (and every DP
-    stack member) shares one compiled shape.
+    GLOBAL row ids (gathered from the replicated x). The cap arguments
+    pin the local/remote far-zone and fs-table capacities so every
+    batch of a run (and every DP stack member) shares one compiled
+    shape — feed back the run maxima from ``shard_caps``.
     """
     tile, width = batch.band_tile, batch.band_width
     assert batch.win_sidx is not None and batch.win_far_tsend is not None
@@ -117,8 +128,15 @@ def shard_ea_batch(batch: GraphBatch, n_shards: int,
     s_loc = np.clip((np.arange(t_total) % t_l) * tile - w2, 0,
                     max(nl - slab, 0))
 
+    # ---- phase 1: classify every window slot, collect per-tile far
+    # rows split into LOCAL-sender (within this shard's row range, their
+    # gradient folds in-shard via the fs tables — no scatter) and
+    # REMOTE-sender (true cross-shard; their gradient rides the
+    # autodiff scatter against the replicated x) ----
     new_sidx = np.full_like(sidx, sent)
-    far_rows: list[np.ndarray] = []
+    tile_slots: list = []
+    far_loc: list[np.ndarray] = []
+    far_rem: list[np.ndarray] = []
     for t in range(t_total):
         d = t // t_l
         codes = sidx[t]
@@ -127,8 +145,8 @@ def shard_ea_batch(batch: GraphBatch, n_shards: int,
         l_rows = g_rows - d * nl
         ok = in_slab & (l_rows >= s_loc[t]) & (l_rows < s_loc[t] + slab)
         new_sidx[t, ok] = (l_rows[ok] - s_loc[t]).astype(np.int32)
-        # collect this tile's far rows: boundary crossers keep their
-        # global row; existing far codes dereference win_far_tsend
+        # boundary crossers keep their global row; existing far codes
+        # dereference win_far_tsend
         crossers = in_slab & ~ok
         was_far = (codes >= slab) & (codes != sent)
         rows = np.concatenate([
@@ -137,18 +155,59 @@ def shard_ea_batch(batch: GraphBatch, n_shards: int,
         ])
         slots = np.concatenate([np.nonzero(crossers)[0],
                                 np.nonzero(was_far)[0]])
-        uniq, inv = np.unique(rows, return_inverse=True)
-        far_rows.append(uniq)
-        new_sidx[t, slots] = (slab + inv).astype(np.int32)
+        uniq = np.unique(rows)
+        is_loc = (uniq >= d * nl) & (uniq < (d + 1) * nl)
+        far_loc.append(uniq[is_loc])
+        far_rem.append(uniq[~is_loc])
+        tile_slots.append((slots, rows))
 
-    cf = max((len(u) for u in far_rows), default=0)
-    cf = ((max(cf, 8) + 7) // 8) * 8
-    if far_cap is not None:
-        assert far_cap >= cf, (far_cap, cf)
-        cf = far_cap
+    cl = max((len(u) for u in far_loc), default=0)
+    cr = max((len(u) for u in far_rem), default=0)
+    cl = ((max(cl, 8) + 7) // 8) * 8
+    cr = ((max(cr, 0) + 7) // 8) * 8  # 0 allowed (single shard)
+    if local_cap is not None:
+        assert local_cap >= cl, (local_cap, cl)
+        cl = local_cap
+    if remote_cap is not None:
+        assert remote_cap >= cr, (remote_cap, cr)
+        cr = remote_cap
+    cf = cl + cr
+
+    # ---- phase 2: assign extended-slab codes against the uniform
+    # [local 0..cl) | remote cl..cl+cr) zone layout; build the
+    # sender-sorted fs tables over the LOCAL zone ----
     far = np.full((t_total, cf), dead, np.int32)
-    for t, u in enumerate(far_rows):
-        far[t, : len(u)] = u
+    fs_entries: list[list] = [[] for _ in range(t_total)]  # per SENDER tile
+    for t in range(t_total):
+        d = t // t_l
+        loc, rem = far_loc[t], far_rem[t]
+        far[t, : len(loc)] = loc
+        far[t, cl: cl + len(rem)] = rem
+        slots, rows = tile_slots[t]
+        if len(slots):
+            in_l = np.isin(rows, loc)
+            pos_l = np.searchsorted(loc, rows)
+            pos_r = np.searchsorted(rem, rows)
+            code = np.where(in_l, pos_l, cl + pos_r)
+            new_sidx[t, slots] = (slab + code).astype(np.int32)
+        # fs entries: one per local far row, grouped by SENDER tile
+        t_loc = t % t_l
+        for rank, g in enumerate(loc):
+            lrow = int(g) - d * nl
+            ts = d * t_l + lrow // tile
+            fs_entries[ts].append((t_loc * cf + rank, lrow % tile))
+
+    cs = max((len(e) for e in fs_entries), default=0)
+    cs = ((max(cs, 8) + 7) // 8) * 8
+    if fs_cap is not None:
+        assert fs_cap >= cs, (fs_cap, cs)
+        cs = fs_cap
+    fs_src = np.zeros((t_total, cs), np.int32)
+    fs_lidx = np.full((t_total, cs), tile, np.int32)
+    for ts, entries in enumerate(fs_entries):
+        for c, (src, lidx) in enumerate(entries):
+            fs_src[ts, c] = src
+            fs_lidx[ts, c] = lidx
 
     fe = edges.shape[2]
     row_off = np.stack([ro[d * nl: (d + 1) * nl + 1]
@@ -159,22 +218,18 @@ def shard_ea_batch(batch: GraphBatch, n_shards: int,
         far=jnp.asarray(far.reshape(n_shards, t_l, cf)),
         row_off=jnp.asarray(row_off.astype(np.int32)),
         edges=jnp.asarray(edges.reshape(n_shards, t_l, w_cap, fe)),
-        tile=tile, width=width, n_shards=n_shards,
+        fs_src=jnp.asarray(fs_src.reshape(n_shards, t_l, cs)),
+        fs_lidx=jnp.asarray(fs_lidx.reshape(n_shards, t_l, cs)),
+        tile=tile, width=width, n_shards=n_shards, cf_local=cl,
     )
 
 
-def pad_ea_shards(s: EAShards, far_cap: int) -> EAShards:
-    """Widen the per-tile far capacity to a run-uniform ``far_cap``
-    (pads point at the dead node; the slab+rank codes already written
-    stay valid — cap widening never aliases, FAR_SLOT_SENTINEL is
-    unreachable)."""
-    d, t_l, cf = s.far.shape
-    if cf == far_cap:
-        return s
-    assert far_cap > cf, (far_cap, cf)
-    dead = s.n_shards * (s.row_off.shape[1] - 1) - 1
-    pad = jnp.full((d, t_l, far_cap - cf), dead, jnp.int32)
-    return s.replace(far=jnp.concatenate([s.far, pad], axis=-1))
+def shard_caps(s: EAShards) -> tuple[int, int, int]:
+    """(local_cap, remote_cap, fs_cap) of a built EAShards — feed the
+    run maxima back into shard_ea_batch so every batch of a run (and
+    every DP stack member) shares one compiled shape."""
+    cf = s.far.shape[-1]
+    return s.cf_local, cf - s.cf_local, s.fs_src.shape[-1]
 
 
 def _encode_edges(edges, enc_params, dtype):
@@ -231,9 +286,11 @@ def ea_tp_stack(
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
 
-    def body(x, sidx, ridx, far, row_off, edges, bp, ep, seed):
+    def body(x, sidx, ridx, far, row_off, edges, fs_src, fs_lidx, bp,
+             ep, seed):
         d = jax.lax.axis_index(axis)
-        view = _ShardView(shards, sidx[0], ridx[0], far[0], row_off[0])
+        view = _ShardView(shards, sidx[0], ridx[0], far[0], row_off[0],
+                          fs_src[0], fs_lidx[0])
         x_loc = jax.lax.dynamic_slice_in_dim(x, d * nl, nl, 0)
         e = _encode_edges(edges[0], ep, x.dtype)
         for i in range(n_layers):
@@ -244,8 +301,8 @@ def ea_tp_stack(
             zx, ze = fused_ea_block(
                 x_loc, e, bp[i], view,
                 skip=0 < i < n_layers - 1, rate=rate, seed=si,
-                deterministic=deterministic, far_grad="autodiff",
-                x_full=x,
+                deterministic=deterministic, far_grad="hybrid",
+                far_local=shards.cf_local, x_full=x,
             )
             e = ze
             x_loc = zx
@@ -256,9 +313,10 @@ def ea_tp_stack(
         body,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P()),
+                  P(axis), P(axis), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
     return fn(x, shards.sidx, shards.ridx, shards.far, shards.row_off,
-              shards.edges, block_params, enc_params, seed)
+              shards.edges, shards.fs_src, shards.fs_lidx, block_params,
+              enc_params, seed)

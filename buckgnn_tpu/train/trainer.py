@@ -326,7 +326,8 @@ def train_gnn(
     # tiles span too many graphs (gwin stripped -> global star tables),
     # later packs are forced global too so the treedef never flips back.
     win_floors = {"w": 0, "f": 0, "ft": 0, "fs": 0, "s": 0, "s2": 0,
-                  "b": 0, "ea_far": 0, "local_star": True}
+                  "b": 0, "ea_cl": 0, "ea_cr": 0, "ea_cs": 0,
+                  "local_star": True}
 
     def pack(data, shuffle, seed):
         batches = list(
@@ -373,21 +374,27 @@ def train_gnn(
                         if "model" in mesh.axis_names else 1)
             if cfg.model_name.startswith("EA_GNN"):
                 from buckgnn_tpu.parallel.ea_shard import (
-                    pad_ea_shards,
+                    shard_caps,
                     shard_ea_batch,
                 )
 
-                shards = [shard_ea_batch(b, n_shards) for b in batches]
-                # sticky cross-repack floor, same role as the win_floors
-                # above: a reshuffle that shifts the max per-tile far
-                # count must not change ea_part's shape (one compiled
-                # step per run)
-                f_cap = max(max(int(s.far.shape[-1]) for s in shards),
-                            win_floors["ea_far"])
-                win_floors["ea_far"] = f_cap
+                # two-pass: measure each batch's needed far-zone/fs
+                # caps, then rebuild at the run maxima — with sticky
+                # cross-repack floors (same role as the win_floors
+                # above: a reshuffle must not change ea_part's shapes
+                # and recompile the step)
+                needed = [shard_caps(shard_ea_batch(b, n_shards))
+                          for b in batches]
+                cl = max(max(n[0] for n in needed), win_floors["ea_cl"])
+                cr = max(max(n[1] for n in needed), win_floors["ea_cr"])
+                cs = max(max(n[2] for n in needed), win_floors["ea_cs"])
+                win_floors["ea_cl"], win_floors["ea_cr"] = cl, cr
+                win_floors["ea_cs"] = cs
                 batches = [
-                    b.replace(ea_part=pad_ea_shards(s, f_cap))
-                    for b, s in zip(batches, shards)
+                    b.replace(ea_part=shard_ea_batch(
+                        b, n_shards, local_cap=cl, remote_cap=cr,
+                        fs_cap=cs))
+                    for b in batches
                 ]
             else:
                 from buckgnn_tpu.parallel.partitioned import (

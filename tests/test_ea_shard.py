@@ -15,7 +15,7 @@ from buckgnn_tpu.models import BuckGNN
 from buckgnn_tpu.ops.pallas_ea_block import fused_ea_block
 from buckgnn_tpu.parallel.ea_shard import (
     ea_tp_stack,
-    pad_ea_shards,
+    shard_caps,
     shard_ea_batch,
 )
 from buckgnn_tpu.parallel.mesh import make_mesh
@@ -109,8 +109,11 @@ def test_model_parity(name):
     path (impl='banded_pallas') in predictions and gradients with the
     SAME param tree (checkpoint compatibility)."""
     batch, ds = _packed(seed=3)
-    shards = pad_ea_shards(shard_ea_batch(batch, 4),
-                           int(shard_ea_batch(batch, 4).far.shape[-1]) + 8)
+    # widen every cap beyond the needed minima — zone/fs padding must be
+    # inert (the run-uniform shapes the trainer feeds back)
+    cl, cr, cs = shard_caps(shard_ea_batch(batch, 4))
+    shards = shard_ea_batch(batch, 4, local_cap=cl + 8,
+                            remote_cap=cr + 8, fs_cap=cs + 8)
     b_tp = batch.replace(ea_part=shards)
     kwargs = dict(
         num_node_features=ds[0].x.shape[1], num_edge_features=5,
@@ -177,10 +180,13 @@ def test_dp_tp_composition():
                                   band_width=WIDTH, band_tile=TILE,
                                   rcm=True))[:n_data]
     assert len(batches) == n_data
-    shards = [shard_ea_batch(b, n_model) for b in batches]
-    f_cap = max(int(s.far.shape[-1]) for s in shards)
-    batches = [b.replace(ea_part=pad_ea_shards(s, f_cap))
-               for b, s in zip(batches, shards)]
+    needed = [shard_caps(shard_ea_batch(b, n_model)) for b in batches]
+    cl = max(n[0] for n in needed)
+    cr = max(n[1] for n in needed)
+    cs = max(n[2] for n in needed)
+    batches = [b.replace(ea_part=shard_ea_batch(
+        b, n_model, local_cap=cl, remote_cap=cr, fs_cap=cs))
+        for b in batches]
 
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     crit = get_loss_function(cfg.loss_function)
