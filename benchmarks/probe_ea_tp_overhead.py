@@ -2,10 +2,13 @@
 
 Multi-chip hardware is not reachable from this environment, so the TP
 path's hardware numbers can't be measured — but its single-shard
-degenerate case CAN: same fused kernels inside a 1-device shard_map with
-the far_grad='autodiff' backward (real scatter-add instead of the fs
-fold) and a trivial all_gather. The delta vs the plain fused path bounds
-the per-chip cost the TP formulation adds before any communication.
+degenerate case CAN: same fused kernels inside a 1-device shard_map
+with the far_grad='hybrid' backward (shard-local far rows fold via the
+per-shard fs tables; at one shard the remote zone is empty) and a
+trivial all_gather. The delta vs the plain fused path bounds the
+per-chip cost the TP formulation adds before any communication —
+measured ±0.0 ms with the hybrid fold (the all-autodiff first cut
+cost +2.0 ms; RESULTS.md round-5).
 
 Usage: timeout 1800 python benchmarks/probe_ea_tp_overhead.py
 """
