@@ -319,6 +319,10 @@ def read_op2(path: str):
             continue
         if pending_ident is None:
             continue  # data record of a table we never identified
+        # once the IDENT has data, it is no longer a marker-stale
+        # candidate: a later IDENT-sized record is a continuation chunk
+        # of THIS body (splits can land on any boundary), not a new ident
+        ident_stale = False
         pending_data.append(rec)
     flush(discard_ident=True)
 

@@ -774,9 +774,11 @@ def _fused_block_fwd(static, x, e_win, x_far, wd, sidx, ridx, cnt,
 def _fold_dx(dx, dhalo, dfar, x, fs_src, fs_lidx, static, fold_far=True):
     """Shared XLA epilogue of both backward variants: fold the
     slab-overlap halos (two shifted pad-adds) and — unless
-    ``fold_far=False`` (far_grad='autodiff', the tile-sharded TP path
-    where far senders may live on other shards) — the receiver-tiled
-    dfar table (sender-window one-hot matmul) into dx."""
+    ``fold_far=False`` (pure far_grad='autodiff': every far sender's
+    gradient rides the caller's take() transpose instead; under
+    'hybrid' this stays True and the fs tables cover only the
+    shard-local zone) — the receiver-tiled dfar table (sender-window
+    one-hot matmul) into dx."""
     tile, width = static["tile"], static["width"]
     n, h = x.shape
     n_tiles = static["n_tiles"]

@@ -7,6 +7,7 @@ from buckgnn_tpu.parallel.dp import (  # noqa: F401
 from buckgnn_tpu.parallel.ea_shard import (  # noqa: F401
     EAShards,
     ea_tp_stack,
+    pad_ea_shards,
     shard_caps,
     shard_ea_batch,
 )

@@ -23,11 +23,16 @@ Design (TPU-first):
   resolve through the kernel's existing FAR machinery against the
   replicated x (`shard_ea_batch` re-codes them host-side).
 - Backward: the kernel's custom VJP runs per shard in
-  ``far_grad='autodiff'`` mode — the dfar table transposes through the
-  x_far take() into a scatter-add on the replicated x, the all_gather
-  transposes to a reduce_scatter, and the weight grads psum across
-  shards — all inserted by shard_map's autodiff, no hand-written
-  transposed collectives.
+  ``far_grad='hybrid'`` mode — the far zone is laid out [shard-local
+  senders | remote senders] (``cf_local`` splits it); the LOCAL zone's
+  gradients fold in-shard through the per-shard fs tables exactly like
+  the single-device path (no scatter), and only the true cross-shard
+  rows transpose through the x_full take() into a scatter-add on the
+  replicated x. The all_gather transposes to a reduce_scatter and the
+  weight grads psum across shards — those collectives come from
+  shard_map's autodiff, no hand-written transposed collectives. The
+  all-autodiff cut (every far row scattering) measured +2.0 ms
+  single-chip; hybrid measures ±0.0 (RESULTS.md round-5).
 
 Composes with data parallelism exactly like the SAGE partitioned path:
 the DP step vmaps over stacked batches, this op shard_maps over
@@ -230,6 +235,60 @@ def shard_caps(s: EAShards) -> tuple[int, int, int]:
     every DP stack member) shares one compiled shape."""
     cf = s.far.shape[-1]
     return s.cf_local, cf - s.cf_local, s.fs_src.shape[-1]
+
+
+def pad_ea_shards(s: EAShards, local_cap: int, remote_cap: int,
+                  fs_cap: int) -> EAShards:
+    """Widen a built EAShards to run-unified caps WITHOUT re-running the
+    host-side classification loops (shard_ea_batch is two per-tile
+    Python passes — the trainer calls this instead of building every
+    batch twice). Equivalent to ``shard_ea_batch(b, D, local_cap,
+    remote_cap, fs_cap)`` on the same batch (tests/test_ea_shard.py):
+
+    - the far table's [local | remote] zones pad independently with the
+      dead row, the remote zone sliding out to start at ``local_cap``;
+    - window codes pointing into the remote zone (``>= slab + cl_old``,
+      sentinel excluded) shift by the local-zone growth;
+    - fs_src entries re-base from ``t_loc*cf_old + rank`` to the new
+      ``cf`` stride (ranks are local-zone positions, unchanged).
+    """
+    cl_old = s.cf_local
+    cf_old = int(s.far.shape[-1])
+    cr_old = cf_old - cl_old
+    cs_old = int(s.fs_src.shape[-1])
+    assert local_cap >= cl_old and remote_cap >= cr_old and \
+        fs_cap >= cs_old, ((local_cap, remote_cap, fs_cap),
+                           (cl_old, cr_old, cs_old))
+    if (local_cap, remote_cap, fs_cap) == (cl_old, cr_old, cs_old):
+        return s
+    cf = local_cap + remote_cap
+    d_sh, t_l = s.far.shape[0], s.far.shape[1]
+    nl = int(s.row_off.shape[1]) - 1
+    dead = nl * s.n_shards - 1
+    slab = s.tile + s.width
+    sent = int(FAR_SLOT_SENTINEL)
+
+    sidx = np.asarray(s.sidx).copy()
+    remote = (sidx != sent) & (sidx >= slab + cl_old)
+    sidx[remote] += local_cap - cl_old
+
+    far = np.full((d_sh, t_l, cf), dead, np.int32)
+    far_old = np.asarray(s.far)
+    far[:, :, :cl_old] = far_old[:, :, :cl_old]
+    far[:, :, local_cap: local_cap + cr_old] = far_old[:, :, cl_old:]
+
+    src_old = np.asarray(s.fs_src)
+    fs_src = np.zeros((d_sh, t_l, fs_cap), np.int32)
+    fs_src[:, :, :cs_old] = (src_old // cf_old) * cf + (src_old % cf_old)
+    fs_lidx = np.full((d_sh, t_l, fs_cap), s.tile, np.int32)
+    fs_lidx[:, :, :cs_old] = np.asarray(s.fs_lidx)
+
+    return EAShards(
+        sidx=jnp.asarray(sidx), ridx=s.ridx, far=jnp.asarray(far),
+        row_off=s.row_off, edges=s.edges, fs_src=jnp.asarray(fs_src),
+        fs_lidx=jnp.asarray(fs_lidx), tile=s.tile, width=s.width,
+        n_shards=s.n_shards, cf_local=local_cap,
+    )
 
 
 def _encode_edges(edges, enc_params, dtype):

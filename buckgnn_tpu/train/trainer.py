@@ -300,6 +300,14 @@ def train_gnn(
             import math
 
             align = math.lcm(align, n_shards * tile)
+            if ea:
+                # shard_ea_batch needs one full slab (tile + width rows)
+                # per shard; width <= tile, so a 2-tile shard floor
+                # guarantees it (same rule as __graft_entry__'s dryrun).
+                # Without this, a small dataset on a 4-way model mesh
+                # rounds n_node_cap to exactly n_shards*tile and pack()
+                # dies in shard_ea_batch's slab assert.
+                align = math.lcm(align, n_shards * 2 * tile)
         n_node_cap = ((max(n_node_cap, tile + width) + align - 1)
                       // align) * align
         band_kw = dict(band_width=width, band_tile=tile, rcm=True,
@@ -374,27 +382,28 @@ def train_gnn(
                         if "model" in mesh.axis_names else 1)
             if cfg.model_name.startswith("EA_GNN"):
                 from buckgnn_tpu.parallel.ea_shard import (
+                    pad_ea_shards,
                     shard_caps,
                     shard_ea_batch,
                 )
 
-                # two-pass: measure each batch's needed far-zone/fs
-                # caps, then rebuild at the run maxima — with sticky
-                # cross-repack floors (same role as the win_floors
-                # above: a reshuffle must not change ea_part's shapes
-                # and recompile the step)
-                needed = [shard_caps(shard_ea_batch(b, n_shards))
-                          for b in batches]
+                # build each batch's shards ONCE at native caps, then
+                # pad to the run maxima (pad_ea_shards is a vectorized
+                # widen equivalent to a capped rebuild — shard_ea_batch
+                # is two per-tile host loops, so building twice doubled
+                # the pack cost) — with sticky cross-repack floors (same
+                # role as the win_floors above: a reshuffle must not
+                # change ea_part's shapes and recompile the step)
+                built = [shard_ea_batch(b, n_shards) for b in batches]
+                needed = [shard_caps(s) for s in built]
                 cl = max(max(n[0] for n in needed), win_floors["ea_cl"])
                 cr = max(max(n[1] for n in needed), win_floors["ea_cr"])
                 cs = max(max(n[2] for n in needed), win_floors["ea_cs"])
                 win_floors["ea_cl"], win_floors["ea_cr"] = cl, cr
                 win_floors["ea_cs"] = cs
                 batches = [
-                    b.replace(ea_part=shard_ea_batch(
-                        b, n_shards, local_cap=cl, remote_cap=cr,
-                        fs_cap=cs))
-                    for b in batches
+                    b.replace(ea_part=pad_ea_shards(s, cl, cr, cs))
+                    for b, s in zip(batches, built)
                 ]
             else:
                 from buckgnn_tpu.parallel.partitioned import (

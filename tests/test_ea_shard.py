@@ -15,6 +15,7 @@ from buckgnn_tpu.models import BuckGNN
 from buckgnn_tpu.ops.pallas_ea_block import fused_ea_block
 from buckgnn_tpu.parallel.ea_shard import (
     ea_tp_stack,
+    pad_ea_shards,
     shard_caps,
     shard_ea_batch,
 )
@@ -63,7 +64,7 @@ def _assert_tree_close(g_a, g_b, tol=2e-4):
 
 def test_stack_parity_kernel_level():
     """ea_tp_stack (shard_map, 4 shards, per-layer all_gather,
-    far_grad='autodiff') == the single-device fused stack, forward AND
+    far_grad='hybrid') == the single-device fused stack, forward AND
     every weight/encoder gradient — boundary-crossing senders re-ride
     the far machinery against the replicated x."""
     batch, _ = _packed()
@@ -266,6 +267,55 @@ def test_stack_parity_two_shards_width128():
                            seed=None, deterministic=True)
     np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_tp),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pad_ea_shards_equals_capped_rebuild():
+    """pad_ea_shards (the trainer's single-build widen path) must be
+    bit-identical to rebuilding with explicit caps via shard_ea_batch —
+    remote-zone window codes shift by the local-zone growth, far zones
+    pad with the dead row, fs_src re-bases onto the new cf stride."""
+    batch, _ = _packed(n_graphs=12, seed=21, n_shards=4)
+    native = shard_ea_batch(batch, 4)
+    cl, cr, cs = shard_caps(native)
+    caps = (cl + 16, cr + 8, cs + 24)
+    direct = shard_ea_batch(batch, 4, local_cap=caps[0],
+                            remote_cap=caps[1], fs_cap=caps[2])
+    padded = pad_ea_shards(native, *caps)
+    assert padded.cf_local == direct.cf_local == caps[0]
+    for f in ("sidx", "ridx", "far", "row_off", "edges", "fs_src",
+              "fs_lidx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(padded, f)), np.asarray(getattr(direct, f)),
+            err_msg=f)
+    # no-op widen returns the same object
+    assert pad_ea_shards(native, cl, cr, cs) is native
+
+
+def test_trainer_ea_tp_small_dataset_gets_slab_floor(tmp_path):
+    """train_gnn under a 4-way model mesh with a dataset small enough
+    that the lcm alignment alone rounds n_node_cap to exactly
+    n_shards*tile must still give every shard a full slab (tile + width
+    rows) — regression for the round-5 self-review crash (pack() died in
+    shard_ea_batch's slab assert before training started)."""
+    from buckgnn_tpu.config import TrainConfig
+    from buckgnn_tpu.graph.normalizer import normalize_dataset
+    from buckgnn_tpu.train.trainer import train_gnn
+
+    ds = generate_dataset(8, seed=17, min_side=6, max_side=7,
+                          use_virtual_edges=True)
+    assert sum(g.n_node for g in ds) + 1 <= 4 * TILE, (
+        "fixture must stay small enough that the pre-fix alignment "
+        "rounds to exactly n_shards*tile")
+    normed, nz = normalize_dataset(ds)
+    cfg = TrainConfig(hidden_channels=H, num_layers=2, batch_size=8,
+                      num_epochs=1, lr=1e-3, dropout_rate=0.0,
+                      segment_impl="banded_partitioned",
+                      model_name="EA_GNN_Shared")
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        res = train_gnn(cfg, normed[:6], normed[6:], nz, str(tmp_path),
+                        trial_id="ea_tp_floor", verbose=False)
+    assert np.isfinite(res.best_val_mape)
 
 
 def test_shard_requires_slab_rows():

@@ -333,6 +333,37 @@ def test_op2_marker_between_ident_and_data(tmp_path):
         np.asarray(ev[0].data)[0, 0, :3], [0.1, 0.2, 1.5], rtol=1e-6)
 
 
+def test_op2_ident_sized_continuation_after_marker(tmp_path):
+    """A multi-record DATA body whose IDENT was separated from it by a
+    marker must tolerate a continuation chunk of EXACTLY the IDENT size
+    (4*146 bytes — Nastran may split a long table at any boundary):
+    once the first chunk lands, ident_stale must clear so the 584-byte
+    chunk is appended as body, not misparsed as a fresh IDENT
+    (round-5 self-review finding)."""
+    eig = 7.25
+    n_rows = 19  # 19 rows x 8 words = 608 bytes
+    body = b"".join(
+        _gentry(i * 10 + 1, 1, 0.1 * i, 0.2 * i, 1.5, 0.0, 0.0, 0.0)
+        for i in range(1, n_rows + 1))
+    assert len(body) == 608
+    blob = b""
+    blob += _grec(b"OUGV1   ")
+    blob += _gmark(-1)
+    blob += _grec(_gident(8, 7, 2, 8, mode=1, eigenvalue=eig))
+    blob += _gmark(-2)            # marker between IDENT and DATA
+    blob += _grec(body[:24])      # first continuation chunk
+    blob += _grec(body[24:])      # second chunk: exactly 584 bytes
+    assert len(body[24:]) == 4 * 146
+    blob += _gmark(0)
+    p = tmp_path / "identsized.op2"
+    p.write_bytes(blob)
+    res = read_op2(str(p))
+    assert 2 in res.eigenvectors
+    data = np.asarray(res.eigenvectors[2].data)
+    assert data.shape[1] == n_rows
+    np.testing.assert_allclose(data[0, -1, :3], [1.9, 3.8, 1.5], rtol=1e-5)
+
+
 def test_op2_empty_body_ident_then_new_ident(tmp_path):
     """An IDENT whose subtable carries NO data records, closed by a
     marker and followed by another IDENT+DATA pair, must not swallow the
