@@ -80,6 +80,13 @@ def main():
     run(normed, nz, 128, 128)
     run(normed, nz, 128, 64)
     run(normed, nz, 192, 64)
+    # round-5 small-tile close-out (2026-08-21): tile 64 is a measured
+    # NEGATIVE — 64/64 = 120.9 ms, 64/32 = 126.1 ms vs 128/64 =
+    # 106.5-107.4 ms in the same session. Below 128 rows the dense
+    # matmuls half-idle the 128x128 MXU and the doubled grid overhead
+    # swamps the slab-flop saving; 128 is the optimum from both sides.
+    run(normed, nz, 64, 64)
+    run(normed, nz, 64, 32)
 
 
 if __name__ == "__main__":
